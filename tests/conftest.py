@@ -1,0 +1,17 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Correctness tests never need real TPU hardware; multi-chip sharding tests use
+the forced host-platform device count, exactly as the driver's
+dryrun_multichip does.
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (one tunneled
+# TPU chip); unit tests must not contend for it and need N virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
