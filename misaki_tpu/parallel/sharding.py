@@ -1,0 +1,90 @@
+"""Multi-chip scaling: shard the (pixels x spp) wavefront over a device mesh
+(SURVEY.md section 2.6 / 5: the reference's only parallelism is TBB tiles on
+one CPU; the TPU-native equivalent is `shard_map` over ICI with psum'd film
+and parameter gradients).
+
+Design:
+  * scene + BVH are replicated on every device (they are small relative to
+    HBM; the wavefront dominates);
+  * the global lane space [0, W*H*spp) is split contiguously per device;
+    each device renders its lanes and splats into a local film copy;
+  * films are `psum` reduced — exact, because splatting is additive;
+  * in the backward pass, AD transposes the replicated-parameter broadcast
+    into a gradient psum automatically (the all-reduce the reference never
+    had).
+Determinism: lane seeding is global (driver.make_rng), so the image is
+bit-identical for any device count modulo float-add ordering in the psum.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from misaki_tpu.render import film as film_mod
+from misaki_tpu.render.driver import _render_chunk
+
+
+def make_mesh(n_devices, axis_name="wavefront"):
+    devices = np.asarray(jax.devices()[:n_devices])
+    return Mesh(devices, (axis_name,))
+
+
+def render_sharded(mesh, scene, seed=0, depth_cap=8, axis_name="wavefront"):
+    """Forward sharded render -> full film (replicated)."""
+    W, H, spp = scene.film_width, scene.film_height, scene.spp
+    n_total = W * H * spp
+    n_dev = mesh.devices.size
+    lanes_per_dev = -(-n_total // n_dev)
+    lane0s = jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(lanes_per_dev)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(),
+    )
+    def shard_fn(scene, lane0_block):
+        film = film_mod.new_film(H, W)
+        film = _render_chunk(
+            scene, film, lane0_block[0], n_total, jnp.uint32(seed),
+            chunk=lanes_per_dev, depth_cap=depth_cap,
+        )
+        return jax.lax.psum(film, axis_name)
+
+    return shard_fn(scene, lane0s)
+
+
+def train_step_sharded(mesh, scene, target_rgb, seed=0, depth_cap=4,
+                       axis_name="wavefront"):
+    """One differentiable training step: sharded render -> L2 image loss ->
+    gradients w.r.t. the scene's differentiable parameters (texture sigmoid
+    coefficients + regular-spectrum tables, i.e. all BSDF reflectances and
+    emitter radiances)."""
+    target = jnp.asarray(target_rgb)
+
+    def loss_fn(coeff, reg_values):
+        tex = scene.textures
+        scene2 = scene.replace(
+            textures=type(tex)(
+                kind=tex.kind,
+                coeff=coeff,
+                scale=tex.scale,
+                child=tex.child,
+                uv_transform=tex.uv_transform,
+                reg_values=reg_values,
+                rgb=tex.rgb,
+            )
+        )
+        film = render_sharded(mesh, scene2, seed, depth_cap, axis_name)
+        rgb, _ = film_mod.develop(film)
+        return jnp.mean((rgb - target) ** 2)
+
+    tex = scene.textures
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        jnp.asarray(tex.coeff), jnp.asarray(tex.reg_values)
+    )
+    return loss, {"coeff": grads[0], "reg_values": grads[1]}

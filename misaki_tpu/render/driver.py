@@ -1,0 +1,119 @@
+"""Render driver: wavefront orchestration + film assembly
+(reference: SamplingIntegrator::render, integrator.cpp:31-126 — the TBB
+tile loop replaced by jit-batched wavefront chunks).
+
+The full (pixels x spp) sample set is split into fixed-size lane chunks; one
+jitted step function renders a chunk and scatter-adds it into the film, which
+stays resident on device. Determinism: lane index == pixel * spp + sample,
+and each lane's PCG32 stream is seeded by (lane, seed), so the image is
+independent of chunk size and device placement.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from misaki_tpu.core import rng, spectrum as spec
+from misaki_tpu.render import camera as cam
+from misaki_tpu.render import film as film_mod
+from misaki_tpu.render import integrator as integ
+
+DEFAULT_CHUNK = 1 << 20
+
+
+def make_rng(lane, seed):
+    """Per-lane PCG32 streams: initstate = lane, initseq mixes the seed so
+    different seeds give uncorrelated sequences."""
+    seed32 = jnp.uint32(seed)
+    return rng.seed(
+        (seed32 * jnp.uint32(0x9E3779B9), lane.astype(jnp.uint32)),
+        (lane.astype(jnp.uint32) ^ (seed32 * jnp.uint32(2654435761)), seed32 | jnp.uint32(1)),
+    )
+
+
+def primary_rays(scene, lane, seed):
+    """Camera rays for global lane ids. Draw order matches the reference's
+    render_sample (integrator.cpp:103-126): pixel jitter 2D, wavelength 1D,
+    lens/aperture 2D (drawn but unused by the pinhole camera)."""
+    spp = scene.spp
+    pixel = lane // spp
+    px = (pixel % scene.film_width).astype(jnp.float32)
+    py = (pixel // scene.film_width).astype(jnp.float32)
+
+    state = make_rng(lane, seed)
+    jitter, state = rng.next_2d(state)
+    wav_u, state = rng.next_float32(state)
+    _lens, state = rng.next_2d(state)
+
+    pos = jnp.stack([px, py], axis=-1) + jitter
+    ray = cam.sample_ray(scene.camera, pos, wav_u)
+    return ray, pos, state
+
+
+def _render_chunk(scene, film, lane0, n_total, seed, chunk, depth_cap):
+    lane = lane0 + jnp.arange(chunk, dtype=jnp.uint32)
+    in_range = lane < n_total
+    ray, pos, state = primary_rays(scene, lane, seed)
+
+    if scene.integrator == "debug":
+        rgb, state = integ.sample_debug(scene, ray, state)
+        xyz = spec.srgb_to_xyz(rgb)
+    else:
+        L_spec, state = integ.sample_path(scene, ray, state, depth_cap)
+        L_spec = L_spec * ray["wav_weight"]
+        xyz = spec.spectrum_to_xyz(L_spec, ray["wavelengths"])
+
+    ones = jnp.ones(chunk)
+    values = jnp.concatenate(
+        [xyz, ones[:, None], ones[:, None]], axis=-1
+    )  # XYZAW, aovs[3]=alpha, aovs[4]=weight (integrator.cpp:119-123)
+    values = jnp.where(in_range[:, None], values, 0.0)
+    values = jnp.where(jnp.isfinite(values), values, 0.0)
+    return film_mod.splat(
+        film, pos, values, scene.filter_type, scene.filter_stddev
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_total", "chunk", "depth_cap"),
+    donate_argnames=("film",),
+)
+def render_chunk(scene, film, lane0, n_total, seed, chunk, depth_cap):
+    return _render_chunk(scene, film, lane0, n_total, seed, chunk, depth_cap)
+
+
+def render(
+    scene,
+    seed=0,
+    chunk_size=DEFAULT_CHUNK,
+    depth_cap=integ.DEFAULT_MAX_DEPTH_CAP,
+):
+    """Render the scene; returns dict with the raw film and developed image."""
+    W, H, spp = scene.film_width, scene.film_height, scene.spp
+    n_total = W * H * spp
+    chunk = min(chunk_size, _next_pow2(n_total))
+    film = film_mod.new_film(H, W)
+
+    n_chunks = -(-n_total // chunk)
+    for c in range(n_chunks):
+        film = render_chunk(
+            scene,
+            film,
+            jnp.uint32(c * chunk),
+            n_total,
+            jnp.uint32(seed),
+            chunk,
+            depth_cap,
+        )
+    rgb, alpha = film_mod.develop(film)
+    return {"film": film, "rgb": rgb, "alpha": alpha}
+
+
+def _next_pow2(n):
+    p = 1
+    while p < n:
+        p <<= 1
+    return p

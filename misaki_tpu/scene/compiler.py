@@ -335,7 +335,7 @@ def _load_mesh_for_shape(shape, base_dir):
     if shape["type"] == "sphere":
         radius = float(p.get("radius", 1.0))
         center = np.asarray(p.get("center", (0, 0, 0)), np.float64)
-        m = procedural.sphere_standin(radius, center, sub=5)
+        m = procedural.sphere_standin(radius, center, sub=4)
         if to_world is not None:
             m = procedural._tris_mesh(
                 m["positions"], m["normals"], m["uvs"], to_world
@@ -497,7 +497,7 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
 
     # ---------------- emitters ----------------
     em_kind, em_shape, em_tex, em_pos = [], [], [], []
-    em_face_global, em_face_cdf, em_face_offset, em_area = [], [], [0], []
+    em_face_global, em_face_cdf, em_area = [], [], []
     face_area = 0.5 * np.linalg.norm(np.cross(e2, e1), axis=-1)
 
     env_idx = -1
@@ -523,14 +523,20 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
             em_face_cdf.append(cdf.astype(np.float32))
             em_area.append(total)
         else:
-            em_face_global.append(np.zeros(0, np.int32))
-            em_face_cdf.append(np.zeros(0, np.float32))
+            em_face_global.append(np.zeros(1, np.int32))
+            em_face_cdf.append(np.ones(1, np.float32))
             em_area.append(4.0 * np.pi * radius * radius)
             if kind == EM_CONSTANT:
                 env_idx = ei
-        em_face_offset.append(em_face_offset[-1] + len(em_face_global[-1]))
 
     n_emitters = len(em_kind)
+    fmax = max([len(f) for f in em_face_global], default=1)
+    fg_pad = np.zeros((n_emitters, fmax), np.int32)
+    fc_pad = np.ones((n_emitters, fmax), np.float32)
+    for i, (fg, fc) in enumerate(zip(em_face_global, em_face_cdf)):
+        fg_pad[i, : len(fg)] = fg
+        fg_pad[i, len(fg):] = fg[-1] if len(fg) else 0
+        fc_pad[i, : len(fc)] = fc
     emitters = EmitterTable(
         kind=np.asarray(em_kind, np.int32).reshape(-1),
         shape=np.asarray(em_shape, np.int32).reshape(-1),
@@ -538,13 +544,8 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
         position=(
             np.stack(em_pos).astype(np.float32) if em_pos else np.zeros((0, 3), np.float32)
         ),
-        face_global=(
-            np.concatenate(em_face_global) if em_face_global else np.zeros(0, np.int32)
-        ),
-        face_cdf=(
-            np.concatenate(em_face_cdf) if em_face_cdf else np.zeros(0, np.float32)
-        ),
-        face_offset=np.asarray(em_face_offset, np.int32),
+        face_global=fg_pad,
+        face_cdf=fc_pad,
         area=np.asarray(em_area, np.float32).reshape(-1),
         bsphere_center=center.astype(np.float32),
         bsphere_radius=np.float32(radius),
@@ -617,6 +618,7 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
         n_emitters=n_emitters,
         has_environment=env_idx >= 0,
         environment_idx=env_idx,
+        emitter_kinds=tuple(int(k) for k in em_kind),
         aovs=tuple(ip.get("aovs", "").split(",")) if ip.get("aovs") else (),
     )
     return scene

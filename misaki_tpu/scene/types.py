@@ -129,10 +129,11 @@ class EmitterTable:
     shape: Any         # (E,) int32 — owning shape for area lights (-1 else)
     radiance_tex: Any  # (E,) int32
     position: Any      # (E, 3) float32 — point lights
-    # Area sampling: all emissive faces concatenated across emitters.
-    face_global: Any   # (EF,) int32 — global face index
-    face_cdf: Any      # (EF,) float32 — per-emitter normalized CDF, concat
-    face_offset: Any   # (E + 1,) int32 — slice into face_global/face_cdf
+    # Area sampling: per-emitter face CDFs padded to a rectangle so that
+    # row slices are static under jit (ragged layouts would need dynamic
+    # shapes, which XLA cannot compile).
+    face_global: Any   # (E, Fmax) int32 — global face indices (padded)
+    face_cdf: Any      # (E, Fmax) float32 — normalized CDF (padded with 1.0)
     area: Any          # (E,) float32 — total surface area per emitter
     # Scene bounding sphere for infinite emitters (constant.cpp set_scene).
     bsphere_center: Any  # (3,) float32
@@ -201,6 +202,7 @@ class CompiledScene:
     n_emitters: int
     has_environment: bool
     environment_idx: int   # emitter index of the env light (-1 = none)
+    emitter_kinds: tuple   # static per-emitter kind ints (EM_*) for unrolling
     aovs: tuple            # aov integrator channel spec
 
     _static = (
@@ -219,6 +221,7 @@ class CompiledScene:
         "n_emitters",
         "has_environment",
         "environment_idx",
+        "emitter_kinds",
         "aovs",
     )
 

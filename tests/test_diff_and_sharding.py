@@ -1,0 +1,127 @@
+"""Differentiability (finite-difference validation) and multi-chip sharding
+tests (BASELINE.md: pixel-gradient allclose vs. finite differences; >= 85%
+scaling efficiency is measured on hardware, correctness here on the virtual
+8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from misaki_tpu.render import film as film_mod
+from misaki_tpu.render.driver import render
+from misaki_tpu.scene.compiler import compile_scene, load_and_compile
+from misaki_tpu.scene.loader import load_string
+
+CBOX = "/root/reference/assets/cbox/scene.xml"
+
+
+def _render_rgb_with_coeff(scene, coeff, seed=0, depth_cap=3):
+    tex = scene.textures
+    scene2 = scene.replace(
+        textures=type(tex)(
+            kind=tex.kind,
+            coeff=coeff,
+            scale=tex.scale,
+            child=tex.child,
+            uv_transform=tex.uv_transform,
+            reg_values=tex.reg_values,
+            rgb=tex.rgb,
+        )
+    )
+    out = render(scene2, seed=seed, chunk_size=1 << 14, depth_cap=depth_cap)
+    return out["rgb"]
+
+
+@pytest.fixture(scope="module")
+def cbox_tiny():
+    return load_and_compile(CBOX, spp=8, width=24, height=16)
+
+
+def test_reflectance_gradient_finite_difference(cbox_tiny):
+    """d(mean image) / d(texture sigmoid coeff) vs. central differences.
+
+    Detached sampling makes the estimator's gradient exactly the gradient of
+    the estimate for a FIXED random stream, so FD on the same seed must agree
+    tightly (not just statistically)."""
+    scene = cbox_tiny
+    coeff0 = jnp.asarray(scene.textures.coeff)
+
+    def f(c):
+        return jnp.mean(_render_rgb_with_coeff(scene, c))
+
+    g = jax.grad(f)(coeff0)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+    # FD check on the two entries with the largest gradient magnitude
+    flat = np.abs(g).reshape(-1)
+    order = np.argsort(flat)[::-1][:2]
+    eps = 1e-3
+    for idx in order:
+        i, j = np.unravel_index(idx, g.shape)
+        dc = np.zeros_like(g)
+        dc[i, j] = eps
+        fp = float(f(coeff0 + dc))
+        fm = float(f(coeff0 - dc))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - g[i, j]) <= 2e-2 * max(abs(fd), abs(g[i, j]), 1e-3), (
+            f"coeff[{i},{j}]: fd={fd} grad={g[i, j]}"
+        )
+
+
+def test_emitter_gradient_flows(cbox_tiny):
+    """Gradients w.r.t. emitter radiance (reg_values rows) must be nonzero
+    and positive for a brightness loss."""
+    scene = cbox_tiny
+    reg0 = jnp.asarray(scene.textures.reg_values)
+
+    def f(reg):
+        tex = scene.textures
+        scene2 = scene.replace(
+            textures=type(tex)(
+                kind=tex.kind,
+                coeff=tex.coeff,
+                scale=tex.scale,
+                child=tex.child,
+                uv_transform=tex.uv_transform,
+                reg_values=reg,
+                rgb=tex.rgb,
+            )
+        )
+        out = render(scene2, seed=0, chunk_size=1 << 13, depth_cap=3)
+        return jnp.mean(out["rgb"])
+
+    g = np.asarray(jax.grad(f)(reg0))
+    assert np.isfinite(g).all()
+    # The cbox area light's d65 row must carry positive gradient
+    assert g.max() > 0
+
+
+def test_sharded_render_matches_single_device(cbox_tiny):
+    """shard_map over the 8-device CPU mesh must reproduce the single-chip
+    film (same lane seeding => same samples; psum is exact up to fp order)."""
+    from misaki_tpu.parallel.sharding import make_mesh, render_sharded
+
+    scene = cbox_tiny
+    mesh = make_mesh(8)
+    film_multi = np.asarray(render_sharded(mesh, scene, seed=5, depth_cap=3))
+
+    out = render(scene, seed=5, chunk_size=1 << 20, depth_cap=3)
+    film_single = np.asarray(out["film"])
+    assert np.allclose(film_multi, film_single, rtol=1e-4, atol=1e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
