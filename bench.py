@@ -20,6 +20,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# XLA compiles are extremely slow on this box; persist them across runs.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def main():
     spp = int(os.environ.get("BENCH_SPP", 64))

@@ -23,9 +23,9 @@ LEAF_SIZE = 4
 N_BINS = 16
 
 
-def build_bvh(p0, e1, e2, leaf_size=LEAF_SIZE, force=False):
+def build_bvh(p0, e1, e2, leaf_size=LEAF_SIZE, force=False, force_brute=False):
     F = len(p0)
-    if F <= BRUTE_FORCE_THRESHOLD and not force:
+    if (F <= BRUTE_FORCE_THRESHOLD or force_brute) and not force:
         return BVH(
             node_lo=np.zeros((0, 3), np.float32),
             node_hi=np.zeros((0, 3), np.float32),

@@ -5,22 +5,23 @@ the TPU-native design computes every material model on every lane and selects
 by the per-lane material kind — each model is a handful of VPU flops, there
 are no branches, and XLA fuses the whole thing into the bounce megakernel.
 
-Conventions (bsdf.h):
-  * directions are in the local shading frame, +z = normal;
-  * `sample` returns weight = f * cos(theta_o) / pdf (importance weight);
+Layout: directions are vec3 component tuples, spectra are (4, L) arrays
+(core/vec.py rationale). Conventions (bsdf.h):
+  * directions in the local shading frame, +z = normal;
+  * `sample` returns weight = f * cos(theta_o) / pdf;
   * `eval` returns f * cos(theta_o);
   * twosided (twosided.cpp) is a compile-time flag: flip wi.z/wo.z on back
     faces.
 
-Kinds implemented: diffuse (bsdfs/diffuse.cpp), roughconductor
-(bsdfs/roughconductor.cpp), roughdielectric (bsdfs/roughdielectric.cpp),
-dielectric (bsdfs/dielectric.cpp), smooth conductor (bsdfs/conductor.cpp,
-stale-set parity), null.
+Kinds: diffuse (bsdfs/diffuse.cpp), roughconductor (bsdfs/roughconductor.cpp),
+roughdielectric (bsdfs/roughdielectric.cpp), dielectric (bsdfs/dielectric.cpp),
+smooth conductor (bsdfs/conductor.cpp, stale-set parity), null.
 """
 
+import jax
 import jax.numpy as jnp
 
-from misaki_tpu.core import frame, fresnel, math as m, microfacet, warp
+from misaki_tpu.core import frame, fresnel, math as m, microfacet, table, vec, warp
 from misaki_tpu.render import textures as tex
 from misaki_tpu.scene.types import (
     BSDF_CONDUCTOR,
@@ -29,33 +30,43 @@ from misaki_tpu.scene.types import (
     BSDF_NULL,
     BSDF_ROUGH_CONDUCTOR,
     BSDF_ROUGH_DIELECTRIC,
-    DIST_GGX,
+    MC_ALPHA_U,
+    MC_ALPHA_V,
+    MC_DISTR,
+    MC_ETA,
+    MC_ETA_RGB,
+    MC_KIND,
+    MC_K_RGB,
+    MC_REFL,
+    MC_SPEC_REFL,
+    MC_SPEC_TRANS,
+    MC_TWOSIDED,
+    SCALAR_SLOT_COLS,
+    SPEC_SLOT_COLS,
 )
 
 _TINY = 1e-20
 
 
 def rgb_to_spectral(rgb, wavelengths):
-    """Map an RGB triple to hero wavelengths by piecewise-linear interpolation
-    between channel anchor wavelengths (B=465nm, G=532nm, R=630nm).
+    """Map an RGB tuple to hero wavelengths by piecewise-linear interpolation
+    between channel anchors (B=465nm, G=532nm, R=630nm).
 
     The reference evaluates conductor Fresnel in RGB and multiplies it into a
     4-wavelength spectrum (roughconductor.cpp:76-78) — a 3-vs-4 type mismatch
-    that only type-puns through Eigen. We define the obviously-intended
-    spectral semantics instead.
+    that only type-puns through Eigen; we define the intended spectral
+    semantics instead. rgb: (r, g, b) of (L,); wavelengths (4, L) -> (4, L).
     """
-    r = rgb[..., 0:1]
-    g = rgb[..., 1:2]
-    b = rgb[..., 2:3]
+    r, g, b = rgb
     t1 = jnp.clip((wavelengths - 465.0) / (532.0 - 465.0), 0.0, 1.0)
     t2 = jnp.clip((wavelengths - 532.0) / (630.0 - 532.0), 0.0, 1.0)
-    return jnp.where(wavelengths < 532.0, b * (1.0 - t1) + g * t1,
-                     g * (1.0 - t2) + r * t2)
+    lo = b[None, :] * (1.0 - t1) + g[None, :] * t1
+    hi = g[None, :] * (1.0 - t2) + r[None, :] * t2
+    return jnp.where(wavelengths < 532.0, lo, hi)
 
 
-def is_smooth(bt, ids):
+def is_smooth_kind(kind):
     """BSDFFlags::Smooth — kinds NEE can connect to (non-delta lobes)."""
-    kind = bt.kind[ids]
     return (
         (kind == BSDF_DIFFUSE)
         | (kind == BSDF_ROUGH_CONDUCTOR)
@@ -63,48 +74,53 @@ def is_smooth(bt, ids):
     )
 
 
-def _material_params(scene, ids, uv, wavelengths):
-    """Gather per-lane material parameters once per bounce."""
-    bt = scene.bsdfs
-    tt = scene.textures
-    kind = bt.kind[ids]
-    alpha_u = microfacet.clamp_alpha(
-        tex.eval_scalar(tt, jnp.maximum(bt.alpha_u_tex[ids], 0), uv)
-    )
-    alpha_v = microfacet.clamp_alpha(
-        tex.eval_scalar(tt, jnp.maximum(bt.alpha_v_tex[ids], 0), uv)
-    )
+def material_params(scene, ids, uv, wavelengths):
+    """ONE one-hot fetch of all packed material columns, then pure VPU
+    slot evaluation (render/textures.py). Returns the per-lane param dict
+    shared by sample/eval/pdf for the bounce."""
+    cols = table.fetch(scene.materials.params, ids)  # (N_MAT_COLS, L)
+    kind = cols[MC_KIND].astype(jnp.int32)
+    eta_rgb = (cols[MC_ETA_RGB], cols[MC_ETA_RGB + 1], cols[MC_ETA_RGB + 2])
+    k_rgb = (cols[MC_K_RGB], cols[MC_K_RGB + 1], cols[MC_K_RGB + 2])
     return {
         "kind": kind,
-        "twosided": bt.twosided[ids],
-        "distr": bt.distr_type[ids],
-        "reflectance": tex.eval_spectrum(
-            tt, jnp.maximum(bt.reflectance_tex[ids], 0), uv, wavelengths
+        "twosided": cols[MC_TWOSIDED] > 0.5,
+        "distr": cols[MC_DISTR].astype(jnp.int32),
+        "reflectance": tex.eval_spectral_slot(
+            cols[MC_REFL : MC_REFL + SPEC_SLOT_COLS], uv, wavelengths
         ),
-        "spec_refl": jnp.where(
-            (bt.specular_reflectance_tex[ids] >= 0)[:, None],
-            tex.eval_spectrum(
-                tt, jnp.maximum(bt.specular_reflectance_tex[ids], 0), uv, wavelengths
-            ),
-            1.0,
+        "spec_refl": tex.eval_spectral_slot(
+            cols[MC_SPEC_REFL : MC_SPEC_REFL + SPEC_SLOT_COLS], uv, wavelengths
         ),
-        "spec_trans": jnp.where(
-            (bt.specular_transmittance_tex[ids] >= 0)[:, None],
-            tex.eval_spectrum(
-                tt, jnp.maximum(bt.specular_transmittance_tex[ids], 0), uv, wavelengths
-            ),
-            1.0,
+        "spec_trans": tex.eval_spectral_slot(
+            cols[MC_SPEC_TRANS : MC_SPEC_TRANS + SPEC_SLOT_COLS], uv, wavelengths
         ),
-        "alpha_u": alpha_u,
-        "alpha_v": alpha_v,
-        "eta": bt.eta[ids],
-        "eta_spec": rgb_to_spectral(bt.eta_rgb[ids], wavelengths),
-        "k_spec": rgb_to_spectral(bt.k_rgb[ids], wavelengths),
+        # Roughness is detached in round 1: correct alpha derivatives need
+        # reparameterized microfacet sampling, and the raw chain (~1/alpha^3
+        # at the 1e-4 clamp) overflows float32 cotangents into inf/NaN.
+        "alpha_u": jax.lax.stop_gradient(
+            microfacet.clamp_alpha(
+                tex.eval_scalar_slot(
+                    cols[MC_ALPHA_U : MC_ALPHA_U + SCALAR_SLOT_COLS], uv
+                )
+            )
+        ),
+        "alpha_v": jax.lax.stop_gradient(
+            microfacet.clamp_alpha(
+                tex.eval_scalar_slot(
+                    cols[MC_ALPHA_V : MC_ALPHA_V + SCALAR_SLOT_COLS], uv
+                )
+            )
+        ),
+        "eta": cols[MC_ETA],
+        "eta_spec": rgb_to_spectral(eta_rgb, wavelengths),
+        "k_spec": rgb_to_spectral(k_rgb, wavelengths),
+        "smooth": is_smooth_kind(kind),
     }
 
 
 def _flip_z(v, flip):
-    return jnp.where(flip[:, None], v * jnp.asarray([1.0, 1.0, -1.0]), v)
+    return (v[0], v[1], jnp.where(flip, -v[2], v[2]))
 
 
 # ---------------------------------------------------------------------------
@@ -115,8 +131,8 @@ def _eval_diffuse(p, wi, wo):
     cti = frame.cos_theta(wi)
     cto = frame.cos_theta(wo)
     ok = (cti > 0.0) & (cto > 0.0)
-    val = p["reflectance"] * (m.InvPi * cto)[:, None]
-    return jnp.where(ok[:, None], val, 0.0)
+    val = p["reflectance"] * (m.InvPi * cto)[None, :]
+    return jnp.where(ok[None, :], val, 0.0)
 
 
 def _pdf_diffuse(p, wi, wo):
@@ -128,49 +144,46 @@ def _eval_roughconductor(p, wi, wo):
     cti = frame.cos_theta(wi)
     cto = frame.cos_theta(wo)
     ok = (cti > 0.0) & (cto > 0.0)
-    H = m.normalize(wi + wo)
+    H = vec.normalize(vec.add(wi, wo))
     D = microfacet.eval_ggx(H, p["alpha_u"], p["alpha_v"])
     Gv = microfacet.G(wi, wo, H, p["alpha_u"], p["alpha_v"], p["distr"])
     result = D * Gv / (4.0 * jnp.maximum(cti, _TINY))
-    F = fresnel.fresnel_conductor(m.dot(wi, H), p["eta_spec"], p["k_spec"])
-    val = F * p["spec_refl"] * result[:, None]
-    return jnp.where((ok & (D > 0.0))[:, None], val, 0.0)
+    F = fresnel.fresnel_conductor(vec.dot(wi, H), p["eta_spec"], p["k_spec"])
+    val = F * p["spec_refl"] * result[None, :]
+    return jnp.where((ok & (D > 0.0))[None, :], val, 0.0)
 
 
 def _pdf_roughconductor(p, wi, wo):
-    H = m.normalize(wi + wo)
+    H = vec.normalize(vec.add(wi, wo))
     ok = (
         (frame.cos_theta(wi) > 0.0)
         & (frame.cos_theta(wo) > 0.0)
-        & (m.dot(wi, H) > 0.0)
-        & (m.dot(wo, H) > 0.0)
+        & (vec.dot(wi, H) > 0.0)
+        & (vec.dot(wo, H) > 0.0)
     )
     pdf = microfacet.pdf_ggx(H, p["alpha_u"], p["alpha_v"]) / (
-        4.0 * jnp.maximum(m.dot(wo, H), _TINY)
+        4.0 * jnp.maximum(vec.dot(wo, H), _TINY)
     )
     return jnp.where(ok, pdf, 0.0)
 
 
 def _sample_roughconductor(p, wi, u2):
     cti = frame.cos_theta(wi)
-    mvec, pdf = microfacet.sample_ggx(u2, p["alpha_u"], p["alpha_v"])
-    wo = fresnel.reflect_m(wi, mvec)
+    mv, pdf = microfacet.sample_ggx(u2, p["alpha_u"], p["alpha_v"])
+    wo = fresnel.reflect_m(wi, mv)
     cto = frame.cos_theta(wo)
     valid = (cti > 0.0) & (pdf != 0.0) & (cto > 0.0)
-    Gv = microfacet.G(wi, wo, mvec, p["alpha_u"], p["alpha_v"], p["distr"])
-    weight_s = Gv * m.dot(wi, mvec) / jnp.maximum(
-        cti * frame.cos_theta(mvec), _TINY
-    )
-    pdf = pdf / jnp.maximum(4.0 * m.dot(wo, mvec), _TINY)
-    F = fresnel.fresnel_conductor(m.dot(wi, mvec), p["eta_spec"], p["k_spec"])
-    weight = F * p["spec_refl"] * weight_s[:, None]
-    weight = jnp.where(valid[:, None], weight, 0.0)
+    Gv = microfacet.G(wi, wo, mv, p["alpha_u"], p["alpha_v"], p["distr"])
+    weight_s = Gv * vec.dot(wi, mv) / jnp.maximum(cti * frame.cos_theta(mv), _TINY)
+    pdf = pdf / jnp.maximum(4.0 * vec.dot(wo, mv), _TINY)
+    F = fresnel.fresnel_conductor(vec.dot(wi, mv), p["eta_spec"], p["k_spec"])
+    weight = F * p["spec_refl"] * weight_s[None, :]
+    weight = jnp.where(valid[None, :], weight, 0.0)
     return {
         "wo": wo,
         "pdf": jnp.where(valid, pdf, 0.0),
         "weight": weight,
         "eta": jnp.ones_like(pdf),
-        "delta": jnp.zeros_like(valid),
         "valid": valid,
     }
 
@@ -181,25 +194,26 @@ def _eval_roughdielectric(p, wi, wo):
     reflect = cti * cto > 0.0
     eta_r = jnp.where(cti > 0.0, p["eta"], 1.0 / p["eta"])
     inv_eta_r = jnp.where(cti > 0.0, 1.0 / p["eta"], p["eta"])
-    mvec = wi + wo * jnp.where(reflect, 1.0, eta_r)[:, None]
-    mvec = m.normalize(mvec)
-    mvec = mvec * jnp.sign(frame.cos_theta(mvec))[:, None]
-    D = microfacet.eval_ggx(mvec, p["alpha_u"], p["alpha_v"])
-    F, _, _, _ = fresnel.fresnel(m.dot(wi, mvec), p["eta"])
-    Gv = microfacet.G(wi, wo, mvec, p["alpha_u"], p["alpha_v"], p["distr"])
+    mv = vec.add(wi, vec.scale(wo, jnp.where(reflect, 1.0, eta_r)))
+    mv = vec.normalize(mv)
+    mv = vec.scale(mv, jnp.sign(frame.cos_theta(mv)))
+    D = microfacet.eval_ggx(mv, p["alpha_u"], p["alpha_v"])
+    F, _, _, _ = fresnel.fresnel(vec.dot(wi, mv), p["eta"])
+    Gv = microfacet.G(wi, wo, mv, p["alpha_u"], p["alpha_v"], p["distr"])
     # reflection lobe (roughdielectric.cpp:139-142)
     val_r = F * D * Gv / (4.0 * jnp.maximum(jnp.abs(cti), _TINY))
-    val_r = val_r[:, None] * p["spec_refl"]
-    # transmission lobe with radiance-mode scale (roughdielectric.cpp:144-156)
-    scale = inv_eta_r * inv_eta_r  # TransportMode::Radiance
-    denom = m.sqr(m.dot(wi, mvec) + eta_r * m.dot(wo, mvec))
-    val_t = jnp.abs(
-        scale * (1.0 - F) * D * Gv * eta_r * eta_r * m.dot(wi, mvec) * m.dot(wo, mvec)
-        / jnp.maximum(cti * denom, jnp.where(cti * denom >= 0, _TINY, -_TINY))
+    val_r = val_r[None, :] * p["spec_refl"]
+    # transmission lobe, radiance-mode scale (roughdielectric.cpp:144-156)
+    scale = inv_eta_r * inv_eta_r
+    denom = m.sqr(vec.dot(wi, mv) + eta_r * vec.dot(wo, mv))
+    num = (
+        scale * (1.0 - F) * D * Gv * eta_r * eta_r
+        * vec.dot(wi, mv) * vec.dot(wo, mv)
     )
-    val_t = val_t[:, None] * p["spec_trans"]
+    val_t = jnp.abs(num / jnp.where(jnp.abs(cti * denom) < _TINY, _TINY, cti * denom))
+    val_t = val_t[None, :] * p["spec_trans"]
     ok = jnp.abs(cti) > 0.0
-    return jnp.where(ok[:, None], jnp.where(reflect[:, None], val_r, val_t), 0.0)
+    return jnp.where(ok[None, :], jnp.where(reflect[None, :], val_r, val_t), 0.0)
 
 
 def _pdf_roughdielectric(p, wi, wo):
@@ -207,24 +221,23 @@ def _pdf_roughdielectric(p, wi, wo):
     cto = frame.cos_theta(wo)
     reflect = cti * cto > 0.0
     eta_r = jnp.where(cti > 0.0, p["eta"], 1.0 / p["eta"])
-    mvec = wi + wo * jnp.where(reflect, 1.0, eta_r)[:, None]
-    mvec = m.normalize(mvec)
-    mvec = mvec * jnp.sign(frame.cos_theta(mvec))[:, None]
+    mv = vec.add(wi, vec.scale(wo, jnp.where(reflect, 1.0, eta_r)))
+    mv = vec.normalize(mv)
+    mv = vec.scale(mv, jnp.sign(frame.cos_theta(mv)))
     ok = (
-        (m.dot(wi, mvec) * cti > 0.0)
-        & (m.dot(wo, mvec) * cto > 0.0)
+        (vec.dot(wi, mv) * cti > 0.0)
+        & (vec.dot(wo, mv) * cto > 0.0)
         & (jnp.abs(cti) > 0.0)
     )
     dwh_dwo = jnp.where(
         reflect,
-        1.0 / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), _TINY),
-        eta_r * eta_r * jnp.abs(m.dot(wo, mvec))
-        / jnp.maximum(m.sqr(m.dot(wi, mvec) + eta_r * m.dot(wo, mvec)), _TINY),
+        1.0 / jnp.maximum(4.0 * jnp.abs(vec.dot(wo, mv)), _TINY),
+        eta_r * eta_r * jnp.abs(vec.dot(wo, mv))
+        / jnp.maximum(m.sqr(vec.dot(wi, mv) + eta_r * vec.dot(wo, mv)), _TINY),
     )
-    # scaled sampling distribution (roughdielectric.cpp:177-183)
-    s = 1.2 - 0.2 * jnp.sqrt(jnp.abs(cti))
-    prob = microfacet.pdf_ggx(mvec, p["alpha_u"] * s, p["alpha_v"] * s)
-    F, _, _, _ = fresnel.fresnel(m.dot(wi, mvec), p["eta"])
+    s = 1.2 - 0.2 * jnp.sqrt(jnp.abs(cti))  # scaled distr (rd.cpp:177-183)
+    prob = microfacet.pdf_ggx(mv, p["alpha_u"] * s, p["alpha_v"] * s)
+    F, _, _, _ = fresnel.fresnel(vec.dot(wi, mv), p["eta"])
     prob = prob * jnp.where(reflect, F, 1.0 - F)
     return jnp.where(ok, prob * jnp.abs(dwh_dwo), 0.0)
 
@@ -232,44 +245,40 @@ def _pdf_roughdielectric(p, wi, wo):
 def _sample_roughdielectric(p, wi, u1, u2):
     cti = frame.cos_theta(wi)
     s = 1.2 - 0.2 * jnp.sqrt(jnp.abs(cti))
-    # The reference samples the *scaled-alpha* distribution with
-    # sign(cos_theta_i) * wi (roughdielectric.cpp:69-76); the polar sampler
-    # ignores wi so only the scaled alphas matter.
-    mvec, pdf = microfacet.sample_ggx(u2, p["alpha_u"] * s, p["alpha_v"] * s)
-    F, cos_theta_t, eta_it, eta_ti = fresnel.fresnel(m.dot(wi, mvec), p["eta"])
+    # The reference samples the scaled-alpha distribution
+    # (roughdielectric.cpp:69-76); the polar sampler ignores wi.
+    mv, pdf = microfacet.sample_ggx(u2, p["alpha_u"] * s, p["alpha_v"] * s)
+    F, cos_theta_t, eta_it, eta_ti = fresnel.fresnel(vec.dot(wi, mv), p["eta"])
     selected_r = u1 <= F
     pdf = pdf * jnp.where(selected_r, F, 1.0 - F)
     eta = jnp.where(selected_r, 1.0, eta_it)
 
-    wo_r = fresnel.reflect_m(wi, mvec)
-    wo_t = fresnel.refract_m(wi, mvec, cos_theta_t, eta_ti)
-    wo = jnp.where(selected_r[:, None], wo_r, wo_t)
+    wo_r = fresnel.reflect_m(wi, mv)
+    wo_t = fresnel.refract_m(wi, mv, cos_theta_t, eta_ti)
+    wo = vec.where(selected_r, wo_r, wo_t)
 
     factor = jnp.where(selected_r, 1.0, eta_ti * eta_ti)  # radiance mode
+    dwo = vec.dot(wo, mv)
     dwh_dwo = jnp.where(
         selected_r,
-        1.0 / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), _TINY)
-        * jnp.sign(m.dot(wo, mvec)),
-        eta * eta * m.dot(wo, mvec)
-        / jnp.maximum(m.sqr(m.dot(wi, mvec) + eta * m.dot(wo, mvec)), _TINY),
+        1.0 / jnp.maximum(4.0 * jnp.abs(dwo), _TINY),
+        eta * eta * jnp.abs(dwo)
+        / jnp.maximum(m.sqr(vec.dot(wi, mv) + eta * dwo), _TINY),
     )
-    Gv = microfacet.G(wi, wo, mvec, p["alpha_u"], p["alpha_v"], p["distr"])
-    weight_s = Gv * m.dot(wi, mvec) / jnp.maximum(
-        cti * frame.cos_theta(mvec),
-        jnp.where(cti * frame.cos_theta(mvec) >= 0, _TINY, -_TINY),
-    )
-    weight = factor[:, None] * jnp.where(
-        selected_r[:, None], p["spec_refl"], p["spec_trans"]
-    ) * weight_s[:, None]
+    Gv = microfacet.G(wi, wo, mv, p["alpha_u"], p["alpha_v"], p["distr"])
+    denom = cti * frame.cos_theta(mv)
+    weight_s = Gv * vec.dot(wi, mv) / jnp.where(jnp.abs(denom) < _TINY, _TINY, denom)
+    weight = factor[None, :] * jnp.where(
+        selected_r[None, :], p["spec_refl"], p["spec_trans"]
+    ) * weight_s[None, :]
     pdf = pdf * jnp.abs(dwh_dwo)
     valid = (pdf > 0.0) & (jnp.abs(cti) > 0.0)
-    weight = jnp.where(valid[:, None], jnp.maximum(weight, 0.0), 0.0)
+    weight = jnp.where(valid[None, :], jnp.maximum(weight, 0.0), 0.0)
     return {
         "wo": wo,
         "pdf": jnp.where(valid, pdf, 0.0),
         "weight": weight,
         "eta": eta,
-        "delta": jnp.zeros_like(valid),
         "valid": valid,
     }
 
@@ -280,22 +289,19 @@ def _sample_dielectric(p, wi, u1):
     F, cos_theta_t, eta_it, eta_ti = fresnel.fresnel(cti, p["eta"])
     selected_r = u1 <= F
     pdf = jnp.where(selected_r, F, 1.0 - F)
-    wo = jnp.where(
-        selected_r[:, None],
-        fresnel.reflect(wi),
-        fresnel.refract(wi, cos_theta_t, eta_ti),
+    wo = vec.where(
+        selected_r, fresnel.reflect(wi), fresnel.refract(wi, cos_theta_t, eta_ti)
     )
     eta = jnp.where(selected_r, 1.0, eta_it)
     factor = jnp.where(selected_r, 1.0, eta_ti * eta_ti)  # radiance mode
-    weight = jnp.where(selected_r[:, None], p["spec_refl"], p["spec_trans"])
-    weight = weight * factor[:, None]
+    weight = jnp.where(selected_r[None, :], p["spec_refl"], p["spec_trans"])
+    weight = weight * factor[None, :]
     valid = pdf > 0.0
     return {
         "wo": wo,
         "pdf": pdf,
-        "weight": jnp.where(valid[:, None], weight, 0.0),
+        "weight": jnp.where(valid[None, :], weight, 0.0),
         "eta": eta,
-        "delta": jnp.ones_like(valid),
         "valid": valid,
     }
 
@@ -309,9 +315,8 @@ def _sample_conductor(p, wi):
     return {
         "wo": wo,
         "pdf": jnp.where(valid, 1.0, 0.0),
-        "weight": jnp.where(valid[:, None], F * p["spec_refl"], 0.0),
+        "weight": jnp.where(valid[None, :], F * p["spec_refl"], 0.0),
         "eta": jnp.ones_like(cti),
-        "delta": jnp.ones_like(valid),
         "valid": valid,
     }
 
@@ -320,45 +325,42 @@ def _sample_conductor(p, wi):
 # public wavefront API
 # ---------------------------------------------------------------------------
 
-def eval_bsdf(scene, ids, wi, wo, uv, wavelengths):
-    """f * cos_theta_o per lane (L, 4). Delta kinds return 0 (bsdf.h)."""
-    p = _material_params(scene, ids, uv, wavelengths)
+def eval_bsdf(p, wi, wo):
+    """f * cos_theta_o per lane (4, L). Delta kinds return 0 (bsdf.h).
+    p: prefetched `material_params` dict for the bounce."""
     flip = p["twosided"] & (frame.cos_theta(wi) < 0.0)
     wi = _flip_z(wi, flip)
     wo = _flip_z(wo, flip)
     kind = p["kind"]
-    out = jnp.where((kind == BSDF_DIFFUSE)[:, None], _eval_diffuse(p, wi, wo), 0.0)
+    out = jnp.where((kind == BSDF_DIFFUSE)[None, :], _eval_diffuse(p, wi, wo), 0.0)
     out = jnp.where(
-        (kind == BSDF_ROUGH_CONDUCTOR)[:, None], _eval_roughconductor(p, wi, wo), out
+        (kind == BSDF_ROUGH_CONDUCTOR)[None, :], _eval_roughconductor(p, wi, wo), out
     )
     out = jnp.where(
-        (kind == BSDF_ROUGH_DIELECTRIC)[:, None],
+        (kind == BSDF_ROUGH_DIELECTRIC)[None, :],
         _eval_roughdielectric(p, wi, wo),
         out,
     )
     return out
 
 
-def pdf_bsdf(scene, ids, wi, wo, uv, wavelengths):
-    p = _material_params(scene, ids, uv, wavelengths)
+def pdf_bsdf(p, wi, wo):
     flip = p["twosided"] & (frame.cos_theta(wi) < 0.0)
     wi = _flip_z(wi, flip)
     wo = _flip_z(wo, flip)
     kind = p["kind"]
     out = jnp.where(kind == BSDF_DIFFUSE, _pdf_diffuse(p, wi, wo), 0.0)
-    out = jnp.where(
-        kind == BSDF_ROUGH_CONDUCTOR, _pdf_roughconductor(p, wi, wo), out
-    )
+    out = jnp.where(kind == BSDF_ROUGH_CONDUCTOR, _pdf_roughconductor(p, wi, wo), out)
     out = jnp.where(
         kind == BSDF_ROUGH_DIELECTRIC, _pdf_roughdielectric(p, wi, wo), out
     )
     return out
 
 
-def sample_bsdf(scene, ids, wi, uv, wavelengths, u1, u2):
+def sample_bsdf(p, wi, u1, u2):
     """Importance-sample the per-lane BSDF. Returns SoA dict with keys
-    wo, pdf, weight (= f cos / pdf), eta, delta, valid."""
-    p = _material_params(scene, ids, uv, wavelengths)
+    wo (vec3), pdf (L,), weight (4, L) = f cos / pdf, eta, delta, valid.
+    p: prefetched `material_params` dict for the bounce."""
     flip = p["twosided"] & (frame.cos_theta(wi) < 0.0)
     wi_f = _flip_z(wi, flip)
     kind = p["kind"]
@@ -370,40 +372,46 @@ def sample_bsdf(scene, ids, wi, uv, wavelengths, u1, u2):
     res_d = {
         "wo": wo_d,
         "pdf": jnp.where(valid_d, pdf_d, 0.0),
-        "weight": jnp.where(valid_d[:, None], p["reflectance"], 0.0),
+        "weight": jnp.where(valid_d[None, :], p["reflectance"], 0.0),
         "eta": jnp.ones_like(pdf_d),
-        "delta": jnp.zeros_like(valid_d),
         "valid": valid_d,
     }
-    res_rc = _sample_roughconductor(p, wi_f, u2)
-    res_rd = _sample_roughdielectric(p, wi_f, u1, u2)
-    res_sd = _sample_dielectric(p, wi_f, u1)
-    res_sc = _sample_conductor(p, wi_f)
+    cases = (
+        (BSDF_DIFFUSE, res_d),
+        (BSDF_ROUGH_CONDUCTOR, _sample_roughconductor(p, wi_f, u2)),
+        (BSDF_ROUGH_DIELECTRIC, _sample_roughdielectric(p, wi_f, u1, u2)),
+        (BSDF_DIELECTRIC, _sample_dielectric(p, wi_f, u1)),
+        (BSDF_CONDUCTOR, _sample_conductor(p, wi_f)),
+    )
 
-    def sel(field, default=0.0):
-        out = jnp.full_like(
-            res_d[field].astype(jnp.float32)
-            if res_d[field].dtype == bool
-            else res_d[field],
-            default,
-        )
-        for kval, r in (
-            (BSDF_DIFFUSE, res_d),
-            (BSDF_ROUGH_CONDUCTOR, res_rc),
-            (BSDF_ROUGH_DIELECTRIC, res_rd),
-            (BSDF_DIELECTRIC, res_sd),
-            (BSDF_CONDUCTOR, res_sc),
-        ):
-            out = jnp.where(_bcast(kind == kval, r[field]), r[field], out)
+    def sel_scalar(field, default=0.0):
+        out = jnp.full_like(cases[0][1][field], default)
+        for kval, r in cases:
+            out = jnp.where(kind == kval, r[field], out)
         return out
 
-    out = {f: sel(f) for f in ("wo", "pdf", "weight")}
-    out["eta"] = sel("eta", default=1.0)
-    out["delta"] = (kind == BSDF_DIELECTRIC) | (kind == BSDF_CONDUCTOR)
-    out["valid"] = sel("valid").astype(bool) & (kind != BSDF_NULL)
-    out["wo"] = _flip_z(out["wo"], flip)
+    def sel_spec(field):
+        out = jnp.zeros_like(cases[0][1][field])
+        for kval, r in cases:
+            out = jnp.where((kind == kval)[None, :], r[field], out)
+        return out
+
+    def sel_vec(field):
+        out = cases[0][1][field]
+        for kval, r in cases[1:]:
+            out = vec.where(kind == kval, r[field], out)
+        return out
+
+    valid = jnp.zeros_like(kind, dtype=bool)
+    for kval, r in cases:
+        valid = jnp.where(kind == kval, r["valid"], valid)
+
+    out = {
+        "wo": _flip_z(sel_vec("wo"), flip),
+        "pdf": sel_scalar("pdf"),
+        "weight": sel_spec("weight"),
+        "eta": sel_scalar("eta", default=1.0),
+        "delta": (kind == BSDF_DIELECTRIC) | (kind == BSDF_CONDUCTOR),
+        "valid": valid & (kind != BSDF_NULL),
+    }
     return out
-
-
-def _bcast(mask, like):
-    return mask[:, None] if like.ndim == 2 else mask

@@ -1,25 +1,23 @@
-"""Orthonormal shading frames, SoA (reference: include/misaki/core/frame.h,
-coordinate_system in mathutils.h:186-203).
+"""Orthonormal shading frames, component-tuple SoA
+(reference: include/misaki/core/frame.h, coordinate_system mathutils.h:186-203).
 
-A frame is a dict {"s": (...,3), "t": (...,3), "n": (...,3)}.
-Directions in local frame coordinates have n == +z.
+A frame is a dict {"s": vec3, "t": vec3, "n": vec3} of component tuples
+(see core/vec.py for the layout rationale). Local directions have n == +z.
 """
 
 import jax.numpy as jnp
 
-from misaki_tpu.core import math as m
+from misaki_tpu.core import vec
 
 
 def coordinate_system(n):
     """Branchless Duff et al. ONB from a unit normal (mathutils.h:186-203)."""
-    sign = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
-    a = -1.0 / (sign + n[..., 2])
-    b = n[..., 0] * n[..., 1] * a
-    s = jnp.stack(
-        [1.0 + sign * n[..., 0] * n[..., 0] * a, sign * b, -sign * n[..., 0]],
-        axis=-1,
-    )
-    t = jnp.stack([b, sign + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
+    nx, ny, nz = n
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    s = (1.0 + sign * nx * nx * a, sign * b, -sign * nx)
+    t = (b, sign + ny * ny * a, -ny)
     return s, t
 
 
@@ -29,27 +27,29 @@ def make_frame(n):
 
 
 def to_local(frame, v):
-    return jnp.stack(
-        [m.dot(v, frame["s"]), m.dot(v, frame["t"]), m.dot(v, frame["n"])],
-        axis=-1,
+    return (
+        vec.dot(v, frame["s"]),
+        vec.dot(v, frame["t"]),
+        vec.dot(v, frame["n"]),
     )
 
 
 def to_world(frame, v):
+    x, y, z = v
     return (
-        frame["s"] * v[..., 0:1]
-        + frame["t"] * v[..., 1:2]
-        + frame["n"] * v[..., 2:3]
+        frame["s"][0] * x + frame["t"][0] * y + frame["n"][0] * z,
+        frame["s"][1] * x + frame["t"][1] * y + frame["n"][1] * z,
+        frame["s"][2] * x + frame["t"][2] * y + frame["n"][2] * z,
     )
 
 
 # Trig-free helpers on local-frame directions (frame.h:40-70).
 def cos_theta(v):
-    return v[..., 2]
+    return v[2]
 
 
 def cos_theta_2(v):
-    return v[..., 2] * v[..., 2]
+    return v[2] * v[2]
 
 
 def sin_theta_2(v):
@@ -61,4 +61,4 @@ def sin_theta(v):
 
 
 def tan_theta(v):
-    return sin_theta(v) / v[..., 2]
+    return sin_theta(v) / v[2]

@@ -21,8 +21,13 @@ ShadowEpsilon = RayEpsilon * 10.0      # ~8.94e-4
 
 
 def safe_sqrt(x):
-    """sqrt(max(x, 0)) with a zero (not NaN) gradient at x<=0."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped away from 0 so the *gradient* is finite at x <= 0.
+
+    sqrt'(0) = inf would poison reverse-mode AD even under jnp.where masking
+    (the unselected branch's vjp still evaluates); clamping at 1e-20 changes
+    the value by at most 1e-10 and keeps every cotangent finite.
+    """
+    return jnp.sqrt(jnp.maximum(x, 1e-20))
 
 
 def safe_rsqrt(x):

@@ -127,4 +127,4 @@ def next_float32(state):
 def next_2d(state):
     x, state = next_float32(state)
     y, state = next_float32(state)
-    return jnp.stack([x, y], axis=-1), state
+    return (x, y), state

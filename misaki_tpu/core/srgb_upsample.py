@@ -118,19 +118,21 @@ def fit_srgb_coeffs(rgb):
 def srgb_model_eval(coeff, wavelengths):
     """The reference's sigmoid eval (srgb.h:8-19), jnp + differentiable.
 
-    coeff: (..., 3) nm-domain coefficients; wavelengths (..., 4).
-    Returns (..., 4) reflectance in [0, 1].
+    coeff: (c0, c1, c2) tuple of (L,) per-lane nm-domain coefficients (or
+    scalars); wavelengths: (4, L) wavelength-major. Returns (4, L)
+    reflectance in [0, 1].
     """
-    c0 = coeff[..., 0:1]
-    c1 = coeff[..., 1:2]
-    c2 = coeff[..., 2:3]
-    v = (c0 * wavelengths + c1) * wavelengths + c2
-    rsqrt = jax_rsqrt(v * v + 1.0)
+    c0, c1, c2 = coeff
+    v = (c0[None, :] * wavelengths + c1[None, :]) * wavelengths + c2[None, :]
+    rsqrt = 1.0 / jnp.sqrt(v * v + 1.0)
     return jnp.maximum(0.5 * v * rsqrt + 0.5, 0.0)
 
 
-def jax_rsqrt(x):
-    return 1.0 / jnp.sqrt(x)
+def srgb_model_eval_flat(coeff, wavelengths):
+    """Scalar-coefficient variant: coeff (3,) array, wavelengths any shape."""
+    v = (coeff[0] * wavelengths + coeff[1]) * wavelengths + coeff[2]
+    rsqrt = 1.0 / jnp.sqrt(v * v + 1.0)
+    return jnp.maximum(0.5 * v * rsqrt + 0.5, 0.0)
 
 
 def srgb_model_mean(coeff):

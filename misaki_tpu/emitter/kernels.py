@@ -2,40 +2,64 @@
 (reference: src/librender/emitters/{area,constant,point}.cpp and the uniform
 emitter selection in scene.cpp:68-112).
 
-Because scenes have few emitters, per-emitter work is unrolled statically
-(a python loop over `scene.n_emitters` with lane masks) — there is no dynamic
-dispatch on device.
+Lane-last layout; gather-free: radiance spectra are (sigmoid coeff x 95-bin
+curve) models evaluated with hat-basis sums; per-emitter work is unrolled
+statically over `scene.emitter_kinds` with lane masks; area sampling fetches
+face data with a one-hot matmul.
 """
 
 import jax.numpy as jnp
 
-from misaki_tpu.core import frame, math as m, warp
-from misaki_tpu.render import textures as tex
-from misaki_tpu.scene.types import EM_AREA, EM_CONSTANT, EM_POINT
+from misaki_tpu.core import frame, math as m, table, vec, warp
+from misaki_tpu.core.cie_data import CIE_MAX, CIE_MIN
+from misaki_tpu.scene.types import (
+    EM_AREA,
+    EM_CONSTANT,
+    EM_POINT,
+    FC_E1,
+    FC_E2,
+    FC_HAS_N,
+    FC_HAS_UV,
+    FC_N0,
+    FC_NG,
+    FC_P0,
+    FC_UV0,
+)
+
+
+def radiance(scene, ei, wavelengths):
+    """Emitter radiance spectrum for a STATIC emitter index: L(lambda) =
+    hat(curve)(lambda) * sigmoid(coeff)(lambda). Covers srgb_d65 / d65 /
+    uniform / regular (see EmitterTable docstring). Returns (4, L)."""
+    coeff = scene.emitters.rad_coeff[ei]
+    curve = scene.emitters.rad_curve[ei]
+    t = (wavelengths - CIE_MIN) * (94.0 / (CIE_MAX - CIE_MIN))
+    base = table.hat_eval(curve, t)
+    v = (coeff[0] * wavelengths + coeff[1]) * wavelengths + coeff[2]
+    sig = jnp.maximum(0.5 * v / jnp.sqrt(v * v + 1.0) + 0.5, 0.0)
+    return base * sig
 
 
 def eval_emitter(scene, emitter_ids, wi_local, uv, wavelengths):
     """Emitter::eval at a surface hit — area lights emit on the front side
-    only (area.cpp:51-54: cos_theta(si.wi) > 0). Lanes with emitter_ids < 0
-    return 0."""
-    ids = jnp.maximum(emitter_ids, 0)
-    rad = tex.eval_spectrum(
-        scene.textures, scene.emitters.radiance_tex[ids], uv, wavelengths
-    )
+    only (area.cpp:51-54). Lanes with emitter_ids < 0 return 0. -> (4, L).
+    Unrolled statically over the scene's emitters."""
+    L = wavelengths.shape[-1]
+    out = jnp.zeros((4, L))
     front = frame.cos_theta(wi_local) > 0.0
-    valid = emitter_ids >= 0
-    return jnp.where((valid & front)[:, None], rad, 0.0)
+    for ei in range(scene.n_emitters):
+        if scene.emitter_kinds[ei] != EM_AREA:
+            continue
+        mask = (emitter_ids == ei) & front
+        out = jnp.where(mask[None, :], radiance(scene, ei, wavelengths), out)
+    return out
 
 
 def eval_environment(scene, wavelengths):
     """Constant env radiance (constant.cpp eval) — direction-independent."""
     if not scene.has_environment:
         return jnp.zeros(wavelengths.shape)
-    ids = jnp.full(wavelengths.shape[:-1], scene.environment_idx, jnp.int32)
-    uv = jnp.zeros(wavelengths.shape[:-1] + (2,))
-    return tex.eval_spectrum(
-        scene.textures, scene.emitters.radiance_tex[ids], uv, wavelengths
-    )
+    return radiance(scene, scene.environment_idx, wavelengths)
 
 
 def _sample_area_emitter(scene, ei, ref_p, wavelengths, u2):
@@ -46,154 +70,159 @@ def _sample_area_emitter(scene, ei, ref_p, wavelengths, u2):
     cdf = em.face_cdf[ei]     # (Fmax,) — static row slice
     faces = em.face_global[ei]
 
-    # sample face by area CDF with sample reuse (distribution.h sample_reuse)
-    uy = u2[:, 1]
-    idx = jnp.clip(jnp.searchsorted(cdf, uy, side="right"), 0, cdf.shape[0] - 1)
-    lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
-    hi = cdf[idx]
+    # face pick by area CDF with sample reuse (distribution.h sample_reuse).
+    # Fmax is small; searchsorted over a tiny constant array lowers to a few
+    # compares — replicate it as an unrolled compare-sum (gather-free).
+    uy = u2[1]
+    fmax = cdf.shape[0]
+    idx = jnp.zeros_like(uy, dtype=jnp.int32)
+    for k in range(min(fmax, 64)):
+        idx = idx + (uy > cdf[k]).astype(jnp.int32)
+    if fmax > 64:
+        # large emissive meshes: count-compares against the rest via a
+        # one-hot-free reduction (cdf rows broadcast in blocks)
+        for k in range(64, fmax):
+            idx = idx + (uy > cdf[k]).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, fmax - 1)
+    if fmax <= 64:
+        lo = jnp.zeros_like(uy)
+        hi = jnp.ones_like(uy)
+        prim = jnp.zeros_like(idx)
+        for k in range(fmax):
+            sel = idx == k
+            lo = jnp.where(sel, cdf[k - 1] if k > 0 else 0.0, lo)
+            hi = jnp.where(sel, cdf[k], hi)
+            prim = jnp.where(sel, faces[k], prim)
+    else:
+        rows = table.fetch(
+            jnp.stack(
+                [
+                    jnp.concatenate([jnp.zeros(1, cdf.dtype), cdf[:-1]]),
+                    cdf,
+                    faces.astype(jnp.float32),
+                ]
+            ),
+            idx,
+        )
+        lo, hi, prim = rows[0], rows[1], rows[2].astype(jnp.int32)
     uy = jnp.clip((uy - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0 - 1e-7)
-    prim = faces[idx]
 
-    b = warp.square_to_uniform_triangle(
-        jnp.stack([u2[:, 0], uy], axis=-1)
-    )
-    g = scene.geometry
-    p = g.p0[prim] + g.e1[prim] * b[:, 0:1] + g.e2[prim] * b[:, 1:2]
-    ng = m.normalize(jnp.cross(g.e1[prim], g.e2[prim]))
-    # shading normal if present (mesh.cpp:120-127)
-    ns = m.normalize(
-        g.n0[prim] * (1.0 - b[:, 0:1] - b[:, 1:2])
-        + g.n1[prim] * b[:, 0:1]
-        + g.n2[prim] * b[:, 1:2]
-    )
-    n = jnp.where(g.has_normals[prim][:, None], ns, ng)
-    uv = (
-        g.uv0[prim] * (1.0 - b[:, 0:1] - b[:, 1:2])
-        + g.uv1[prim] * b[:, 0:1]
-        + g.uv2[prim] * b[:, 1:2]
-    )
-    uv = jnp.where(g.has_uvs[prim][:, None], uv, b)
+    b1, b2 = warp.square_to_uniform_triangle((u2[0], uy))
+    b0 = 1.0 - b1 - b2
 
-    d = p - ref_p
-    dist2 = jnp.sum(d * d, axis=-1)
+    fd = table.fetch(scene.geometry.face_tab, prim)
+    p0 = (fd[FC_P0], fd[FC_P0 + 1], fd[FC_P0 + 2])
+    e1 = (fd[FC_E1], fd[FC_E1 + 1], fd[FC_E1 + 2])
+    e2 = (fd[FC_E2], fd[FC_E2 + 1], fd[FC_E2 + 2])
+    p = vec.add(p0, vec.add(vec.scale(e1, b1), vec.scale(e2, b2)))
+    ng = (fd[FC_NG], fd[FC_NG + 1], fd[FC_NG + 2])
+    n0 = (fd[FC_N0], fd[FC_N0 + 1], fd[FC_N0 + 2])
+    n1 = (fd[FC_N0 + 3], fd[FC_N0 + 4], fd[FC_N0 + 5])
+    n2 = (fd[FC_N0 + 6], fd[FC_N0 + 7], fd[FC_N0 + 8])
+    ns = vec.normalize(
+        vec.add(vec.scale(n0, b0), vec.add(vec.scale(n1, b1), vec.scale(n2, b2)))
+    )
+    n = vec.where(fd[FC_HAS_N] > 0.5, ns, ng)
+
+    d = vec.sub(p, ref_p)
+    dist2 = vec.norm2(d)
     dist = jnp.sqrt(dist2)
-    d = d / jnp.maximum(dist, 1e-20)[:, None]
+    d = vec.scale(d, 1.0 / jnp.maximum(dist, 1e-20))
 
     pdf_area = 1.0 / jnp.maximum(em.area[ei], 1e-20)
-    dp = jnp.abs(m.dot(d, n))
+    dn = vec.dot(d, n)
+    dp = jnp.abs(dn)
     pdf = jnp.where(dp != 0.0, pdf_area * dist2 / jnp.maximum(dp, 1e-20), 0.0)
 
     # one-sided emission: only where d . n < 0 (area.cpp:38)
-    front = m.dot(d, n) < 0.0
-    pdf = jnp.where(front, pdf, 0.0)
-    rad = tex.eval_spectrum(
-        scene.textures,
-        jnp.full(prim.shape, em.radiance_tex[ei], jnp.int32),
-        uv,
-        wavelengths,
-    )
+    pdf = jnp.where(dn < 0.0, pdf, 0.0)
+    rad = radiance(scene, ei, wavelengths)
     spec = jnp.where(
-        (pdf > 0.0)[:, None], rad / jnp.maximum(pdf, 1e-20)[:, None], 0.0
+        (pdf > 0.0)[None, :], rad / jnp.maximum(pdf, 1e-20)[None, :], 0.0
     )
-    return {"d": d, "dist": dist, "pdf": pdf, "spec": spec, "n": n}
+    return {"d": d, "dist": dist, "pdf": pdf, "spec": spec}
 
 
 def _sample_constant_emitter(scene, ei, ref_p, wavelengths, u2):
     """Uniform-sphere env sampling (constant.cpp:53-74)."""
     em = scene.emitters
     d = warp.square_to_uniform_sphere(u2)
-    dist = jnp.full(d.shape[:-1], 2.0 * em.bsphere_radius)
+    L = d[0].shape[0]
+    dist = jnp.full((L,), 2.0 * em.bsphere_radius)
     pdf = warp.square_to_uniform_sphere_pdf(d)
-    rad = tex.eval_spectrum(
-        scene.textures,
-        jnp.full(d.shape[:-1], em.radiance_tex[ei], jnp.int32),
-        jnp.zeros(d.shape[:-1] + (2,)),
-        wavelengths,
-    )
-    return {
-        "d": d,
-        "dist": dist,
-        "pdf": pdf,
-        "spec": rad / pdf[:, None],
-        "n": -d,
-    }
+    rad = radiance(scene, ei, wavelengths)
+    return {"d": d, "dist": dist, "pdf": pdf, "spec": rad / pdf[None, :]}
 
 
 def _sample_point_emitter(scene, ei, ref_p, wavelengths, u2):
     """Delta position light, 1/r^2 falloff (stale emitters/point.cpp parity)."""
     em = scene.emitters
     p = em.position[ei]
-    d = p[None, :] - ref_p
-    dist2 = jnp.sum(d * d, axis=-1)
+    d = vec.sub(vec.splat3(p, ref_p[0]), ref_p)
+    dist2 = vec.norm2(d)
     dist = jnp.sqrt(dist2)
-    d = d / jnp.maximum(dist, 1e-20)[:, None]
-    rad = tex.eval_spectrum(
-        scene.textures,
-        jnp.full(dist.shape, em.radiance_tex[ei], jnp.int32),
-        jnp.zeros(dist.shape + (2,)),
-        wavelengths,
-    )
+    d = vec.scale(d, 1.0 / jnp.maximum(dist, 1e-20))
+    rad = radiance(scene, ei, wavelengths)
     return {
         "d": d,
         "dist": dist,
         "pdf": jnp.ones_like(dist),
-        "spec": rad / jnp.maximum(dist2, 1e-20)[:, None],
-        "n": -d,
+        "spec": rad / jnp.maximum(dist2, 1e-20)[None, :],
     }
 
 
 def sample_emitter_direct(scene, ref_p, wavelengths, u2):
     """Scene::sample_emitter_direct (scene.cpp:68-103) minus the visibility
-    test (the integrator casts the shadow ray so it can batch it).
+    test (the integrator casts the batched shadow ray).
 
     Uniform emitter pick with sample reuse; returns SoA dict
-    {d, dist, pdf, spec, delta} where spec = radiance/pdf (and the selection
-    count factor), pdf includes the selection pdf.
-    """
+    {d (vec3), dist, pdf, spec (4, L), delta} — spec = radiance/pdf (and the
+    selection count factor); pdf includes the selection pdf."""
     n = scene.n_emitters
-    L = ref_p.shape[0]
+    L = ref_p[0].shape[0]
     if n == 0:
-        z3 = jnp.zeros((L, 3))
+        z = jnp.zeros(L)
         return {
-            "d": z3,
-            "dist": jnp.zeros(L),
-            "pdf": jnp.zeros(L),
-            "spec": jnp.zeros((L, 4)),
+            "d": (z, z, z),
+            "dist": z,
+            "pdf": z,
+            "spec": jnp.zeros((4, L)),
             "delta": jnp.zeros(L, bool),
         }
 
-    ux = u2[:, 0]
+    ux = u2[0]
     if n == 1:
         index = jnp.zeros(L, jnp.int32)
         ux_r = ux
-        sel_pdf = 1.0
     else:
         index = jnp.minimum((ux * n).astype(jnp.int32), n - 1)
         ux_r = (ux - index.astype(jnp.float32) / n) * n
-        sel_pdf = 1.0 / n
-    u2r = jnp.stack([ux_r, u2[:, 1]], axis=-1)
+    u2r = (ux_r, u2[1])
 
-    out = None
-    delta = jnp.zeros(L, bool)
     samplers = {
         EM_AREA: _sample_area_emitter,
         EM_CONSTANT: _sample_constant_emitter,
         EM_POINT: _sample_point_emitter,
     }
     kinds = scene.emitter_kinds
+    out = None
+    delta = jnp.zeros(L, bool)
     for ei in range(n):
         r = samplers[kinds[ei]](scene, ei, ref_p, wavelengths, u2r)
         mask = index == ei
         if out is None:
-            out = {k: jnp.where(_b(mask, v), v, 0.0) for k, v in r.items()}
+            out = r
         else:
             out = {
-                k: jnp.where(_b(mask, r[k]), r[k], out[k]) for k in out
+                "d": vec.where(mask, r["d"], out["d"]),
+                "dist": jnp.where(mask, r["dist"], out["dist"]),
+                "pdf": jnp.where(mask, r["pdf"], out["pdf"]),
+                "spec": jnp.where(mask[None, :], r["spec"], out["spec"]),
             }
         delta = delta | (mask & (kinds[ei] == EM_POINT))
 
     if n > 1:
-        out["pdf"] = out["pdf"] * sel_pdf
+        out["pdf"] = out["pdf"] * (1.0 / n)
         out["spec"] = out["spec"] * n
     out["delta"] = delta
     return out
@@ -201,26 +230,24 @@ def sample_emitter_direct(scene, ref_p, wavelengths, u2):
 
 def pdf_emitter_direct(scene, emitter_ids, d, dist, n_at_hit):
     """Scene::pdf_emitter_direct (scene.cpp:105-112) for MIS when a BSDF ray
-    hits an emitter. emitter_ids: per-lane emitter index (env hits pass the
-    environment index). Area: (1/area) * dist^2/|d.n| (shape.cpp:82-88);
-    constant env: uniform-sphere pdf."""
-    em = scene.emitters
-    ids = jnp.maximum(emitter_ids, 0)
-    kind = em.kind[ids]
-    area = em.area[ids]
-    dp = jnp.abs(m.dot(d, n_at_hit))
-    pdf_area = jnp.where(
-        dp != 0.0,
-        (1.0 / jnp.maximum(area, 1e-20)) * dist * dist / jnp.maximum(dp, 1e-20),
-        0.0,
-    )
-    pdf_env = jnp.full_like(dist, m.InvFourPi)
-    pdf = jnp.where(kind == EM_AREA, pdf_area, 0.0)
-    pdf = jnp.where(kind == EM_CONSTANT, pdf_env, pdf)
+    hits an emitter. Area: (1/area) * dist^2/|d.n| (shape.cpp:82-88);
+    constant env: uniform-sphere pdf. Unrolled statically per emitter."""
+    L = dist.shape[0]
+    pdf = jnp.zeros(L)
+    dp = jnp.abs(vec.dot(d, n_at_hit))
+    for ei in range(scene.n_emitters):
+        kind = scene.emitter_kinds[ei]
+        mask = emitter_ids == ei
+        if kind == EM_AREA:
+            p_area = jnp.where(
+                dp != 0.0,
+                (1.0 / jnp.maximum(scene.emitters.area[ei], 1e-20))
+                * dist * dist / jnp.maximum(dp, 1e-20),
+                0.0,
+            )
+            pdf = jnp.where(mask, p_area, pdf)
+        elif kind == EM_CONSTANT:
+            pdf = jnp.where(mask, m.InvFourPi, pdf)
     if scene.n_emitters > 1:
         pdf = pdf / scene.n_emitters
     return jnp.where(emitter_ids >= 0, pdf, 0.0)
-
-
-def _b(mask, like):
-    return mask[:, None] if like.ndim == 2 else mask

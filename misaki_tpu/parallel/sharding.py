@@ -38,7 +38,8 @@ def render_sharded(mesh, scene, seed=0, depth_cap=8, axis_name="wavefront"):
     W, H, spp = scene.film_width, scene.film_height, scene.spp
     n_total = W * H * spp
     n_dev = mesh.devices.size
-    lanes_per_dev = -(-n_total // n_dev)
+    # spp-aligned per-device lane block (dense pixel-major splat requirement)
+    lanes_per_dev = -(-(-(-n_total // n_dev)) // spp) * spp
     lane0s = jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(lanes_per_dev)
 
     @partial(
@@ -48,43 +49,51 @@ def render_sharded(mesh, scene, seed=0, depth_cap=8, axis_name="wavefront"):
         out_specs=P(),
     )
     def shard_fn(scene, lane0_block):
-        film = film_mod.new_film(H, W)
-        film = _render_chunk(
-            scene, film, lane0_block[0], n_total, jnp.uint32(seed),
+        film_flat = film_mod.new_film_flat(
+            H, W, 5, scene.filter_type, scene.filter_stddev
+        )
+        film_flat = _render_chunk(
+            scene, film_flat, lane0_block[0], n_total, jnp.uint32(seed),
             chunk=lanes_per_dev, depth_cap=depth_cap,
         )
-        return jax.lax.psum(film, axis_name)
+        return jax.lax.psum(film_flat, axis_name)
 
-    return shard_fn(scene, lane0s)
+    film_flat = shard_fn(scene, lane0s)
+    return film_mod.film_from_flat(
+        film_flat, H, W, scene.filter_type, scene.filter_stddev
+    )
 
 
 def train_step_sharded(mesh, scene, target_rgb, seed=0, depth_cap=4,
                        axis_name="wavefront"):
     """One differentiable training step: sharded render -> L2 image loss ->
-    gradients w.r.t. the scene's differentiable parameters (texture sigmoid
-    coefficients + regular-spectrum tables, i.e. all BSDF reflectances and
-    emitter radiances)."""
+    gradients w.r.t. the scene's differentiable parameters (the packed
+    material table — every BSDF/texture coefficient — plus emitter radiance
+    sigmoid coefficients and curves)."""
     target = jnp.asarray(target_rgb)
 
-    def loss_fn(coeff, reg_values):
-        tex = scene.textures
+    def loss_fn(mat_params, rad_coeff, rad_curve):
+        from dataclasses import replace as dc_replace
+
         scene2 = scene.replace(
-            textures=type(tex)(
-                kind=tex.kind,
-                coeff=coeff,
-                scale=tex.scale,
-                child=tex.child,
-                uv_transform=tex.uv_transform,
-                reg_values=reg_values,
-                rgb=tex.rgb,
-            )
+            materials=type(scene.materials)(params=mat_params),
+            emitters=dc_replace(
+                scene.emitters, rad_coeff=rad_coeff, rad_curve=rad_curve
+            ),
         )
         film = render_sharded(mesh, scene2, seed, depth_cap, axis_name)
         rgb, _ = film_mod.develop(film)
         return jnp.mean((rgb - target) ** 2)
 
-    tex = scene.textures
-    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-        jnp.asarray(tex.coeff), jnp.asarray(tex.reg_values)
+    # jit the whole value_and_grad: without it JAX executes the forward and
+    # backward op-by-op eagerly (hundreds of per-op compiles).
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2)))(
+        jnp.asarray(scene.materials.params),
+        jnp.asarray(scene.emitters.rad_coeff),
+        jnp.asarray(scene.emitters.rad_curve),
     )
-    return loss, {"coeff": grads[0], "reg_values": grads[1]}
+    return loss, {
+        "materials": grads[0],
+        "rad_coeff": grads[1],
+        "rad_curve": grads[2],
+    }

@@ -47,12 +47,13 @@ def primary_rays(scene, lane, seed):
     wav_u, state = rng.next_float32(state)
     _lens, state = rng.next_2d(state)
 
-    pos = jnp.stack([px, py], axis=-1) + jitter
+    pos = (px + jitter[0], py + jitter[1])
     ray = cam.sample_ray(scene.camera, pos, wav_u)
     return ray, pos, state
 
 
-def _render_chunk(scene, film, lane0, n_total, seed, chunk, depth_cap):
+def _render_chunk(scene, film_flat, lane0, n_total, seed, chunk, depth_cap):
+    """Render `chunk` lanes (spp-aligned) into the flat padded film."""
     lane = lane0 + jnp.arange(chunk, dtype=jnp.uint32)
     in_range = lane < n_total
     ray, pos, state = primary_rays(scene, lane, seed)
@@ -66,23 +67,33 @@ def _render_chunk(scene, film, lane0, n_total, seed, chunk, depth_cap):
         xyz = spec.spectrum_to_xyz(L_spec, ray["wavelengths"])
 
     ones = jnp.ones(chunk)
-    values = jnp.concatenate(
-        [xyz, ones[:, None], ones[:, None]], axis=-1
-    )  # XYZAW, aovs[3]=alpha, aovs[4]=weight (integrator.cpp:119-123)
-    values = jnp.where(in_range[:, None], values, 0.0)
-    values = jnp.where(jnp.isfinite(values), values, 0.0)
-    return film_mod.splat(
-        film, pos, values, scene.filter_type, scene.filter_stddev
+    # XYZAW channels (integrator.cpp:119-123: alpha=1, filter weight=1)
+    values = tuple(xyz) + (ones, ones)
+    values = tuple(
+        jnp.where(in_range & jnp.isfinite(c), c, 0.0) for c in values
+    )
+    pixel0 = (lane0 // scene.spp).astype(jnp.int32)
+    return film_mod.splat_aligned(
+        film_flat, pixel0, pos, values,
+        scene.film_width, scene.film_height, scene.spp,
+        scene.filter_type, scene.filter_stddev,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("n_total", "chunk", "depth_cap"),
-    donate_argnames=("film",),
+    donate_argnames=("film_flat",),
 )
-def render_chunk(scene, film, lane0, n_total, seed, chunk, depth_cap):
-    return _render_chunk(scene, film, lane0, n_total, seed, chunk, depth_cap)
+def render_chunk(scene, film_flat, lane0, n_total, seed, chunk, depth_cap):
+    return _render_chunk(scene, film_flat, lane0, n_total, seed, chunk, depth_cap)
+
+
+def pick_chunk(chunk_size, spp, n_total):
+    """Largest spp-multiple <= chunk_size (min spp) so chunks stay
+    pixel-aligned for the dense splat."""
+    chunk = max(spp, (chunk_size // spp) * spp)
+    return min(chunk, -(-n_total // spp) * spp)
 
 
 def render(
@@ -94,26 +105,24 @@ def render(
     """Render the scene; returns dict with the raw film and developed image."""
     W, H, spp = scene.film_width, scene.film_height, scene.spp
     n_total = W * H * spp
-    chunk = min(chunk_size, _next_pow2(n_total))
-    film = film_mod.new_film(H, W)
+    chunk = pick_chunk(chunk_size, spp, n_total)
+    film_flat = film_mod.new_film_flat(
+        H, W, 5, scene.filter_type, scene.filter_stddev
+    )
 
     n_chunks = -(-n_total // chunk)
     for c in range(n_chunks):
-        film = render_chunk(
+        film_flat = render_chunk(
             scene,
-            film,
+            film_flat,
             jnp.uint32(c * chunk),
             n_total,
             jnp.uint32(seed),
             chunk,
             depth_cap,
         )
+    film = film_mod.film_from_flat(
+        film_flat, H, W, scene.filter_type, scene.filter_stddev
+    )
     rgb, alpha = film_mod.develop(film)
     return {"film": film, "rgb": rgb, "alpha": alpha}
-
-
-def _next_pow2(n):
-    p = 1
-    while p < n:
-        p <<= 1
-    return p

@@ -3,14 +3,16 @@ ImageBlock/BlockGenerator/HDRFilm (reference: src/librender/imageblock.cpp,
 films/hdrfilm.cpp).
 
 The reference renders 32x32 spiral tiles into per-thread blocks with a
-discretized-filter splat, merged under a mutex. On TPU the film is one
-(H, W, 5) XYZAW accumulator in HBM and every sample performs a scatter-add
-over its reconstruction-filter footprint — no tiles, no borders, no locks,
-and the result is deterministic.
+discretized-filter splat, merged under a mutex. The TPU film is a
+channel-major flat accumulator (C, H*W + guard) in HBM, and the wavefront is
+**pixel-major** (lane = pixel * spp + s): a chunk covers a contiguous flat
+pixel range, so each reconstruction-filter tap offset (ox, oy) is a constant
+flat shift oy*W + ox for every lane. The whole splat becomes (2r+1)^2 dense
+shifted adds — zero scatters, no tiles, no borders, no locks, deterministic.
 
-The gaussian filter is evaluated exactly instead of via the reference's
-32-bin LUT (rfilter.h eval_discretized) — the LUT is a CPU-era optimization
-that would only add error on TPU.
+The gaussian is evaluated exactly instead of via the reference's 32-bin LUT
+(rfilter.h eval_discretized) — a CPU-era optimization that would only add
+error here.
 """
 
 import jax
@@ -28,68 +30,82 @@ def filter_footprint(filter_type, stddev):
     return int(np.ceil(radius)), radius
 
 
-def splat(film, pos, values, filter_type="gaussian", stddev=0.5):
-    """Scatter-add samples into the film.
+def pad_rows(W, filter_type, stddev):
+    pad, _ = filter_footprint(filter_type, stddev)
+    return (pad + 1) * W + pad + 1
 
-    film: (H, W, C); pos: (L, 2) continuous raster coords; values: (L, C).
-    Gaussian weights follow gaussian.cpp:9-20 (truncated, bias-subtracted);
-    the tap grid follows ImageBlock::put (imageblock.cpp:85-114).
+
+def new_film_flat(H, W, channels=5, filter_type="gaussian", stddev=0.5):
+    guard = pad_rows(W, filter_type, stddev)
+    return jnp.zeros((channels, H * W + 2 * guard), jnp.float32)
+
+
+def splat_aligned(
+    film_flat, pixel0, pos, values, W, H, spp, filter_type="gaussian", stddev=0.5
+):
+    """Scatter-free splat for spp-aligned pixel-major chunks.
+
+    film_flat: (C, H*W + 2*guard); pixel0: first flat pixel id (traced ok);
+    pos: (px, py) tuple of (L,); values: tuple of C (L,) channel arrays;
+    L = n_pix * spp.
     """
-    H, W, C = film.shape
+    C = len(values)
+    L = values[0].shape[0]
+    n_pix = L // spp
+    guard = pad_rows(W, filter_type, stddev)
     pad, radius = filter_footprint(filter_type, stddev)
 
-    # discrete-coordinate sample position (imageblock.cpp:87-89)
-    px = pos[:, 0] - 0.5
-    py = pos[:, 1] - 0.5
+    pix = pixel0 + jnp.arange(n_pix, dtype=jnp.int32)
+    px0 = (pix % W).astype(jnp.float32)
+    py0 = (pix // W).astype(jnp.float32)
+
+    v = jnp.stack(values, 0).reshape(C, n_pix, spp)
+    # jitter relative to the pixel corner, in discrete coords (-0.5-centered)
+    jx = pos[0].reshape(n_pix, spp) - px0[:, None] - 0.5
+    jy = pos[1].reshape(n_pix, spp) - py0[:, None] - 0.5
 
     if filter_type == "box":
-        x = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
-        y = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
-        flat = y * W + x
-        film = film.reshape(H * W, C).at[flat].add(values).reshape(H, W, C)
-        return film
+        taps = [(0, 0)]
 
-    alpha = -1.0 / (2.0 * stddev * stddev)
-    bias = np.exp(alpha * radius * radius)
+        def wfun(o, j):
+            return jnp.ones_like(j)
+    else:
+        alpha = -1.0 / (2.0 * stddev * stddev)
+        bias = np.exp(alpha * radius * radius)
+        taps = [(ox, oy) for oy in range(-pad, pad + 1) for ox in range(-pad, pad + 1)]
 
-    n_taps = 2 * pad + 1
-    lo_x = jnp.ceil(px - radius).astype(jnp.int32)
-    lo_y = jnp.ceil(py - radius).astype(jnp.int32)
+        def wfun(o, j):
+            return jnp.maximum(jnp.exp(alpha * (o - j) ** 2) - bias, 0.0)
 
-    offs = jnp.arange(n_taps, dtype=jnp.int32)
-    tx = lo_x[:, None] + offs[None, :]  # (L, T)
-    ty = lo_y[:, None] + offs[None, :]
-    wx = jnp.maximum(
-        jnp.exp(alpha * (tx.astype(jnp.float32) - px[:, None]) ** 2) - bias, 0.0
-    )
-    wy = jnp.maximum(
-        jnp.exp(alpha * (ty.astype(jnp.float32) - py[:, None]) ** 2) - bias, 0.0
-    )
-    in_x = (tx >= 0) & (tx < W)
-    in_y = (ty >= 0) & (ty < H)
-    wx = jnp.where(in_x, wx, 0.0)
-    wy = jnp.where(in_y, wy, 0.0)
+    offs = sorted({o for t in taps for o in t})
+    wx_all = {o: wfun(o, jx) for o in offs}  # (n_pix, spp)
+    wy_all = {o: wfun(o, jy) for o in offs}
+    in_x = {o: ((px0 + o >= 0) & (px0 + o < W)).astype(jnp.float32) for o in offs}
+    in_y = {o: ((py0 + o >= 0) & (py0 + o < H)).astype(jnp.float32) for o in offs}
 
-    w2 = wx[:, None, :] * wy[:, :, None]  # (L, Ty, Tx)
-    fx = jnp.clip(tx, 0, W - 1)
-    fy = jnp.clip(ty, 0, H - 1)
-    flat = (fy[:, :, None] * W + fx[:, None, :]).reshape(-1)  # (L*T*T,)
-    contrib = (w2[..., None] * values[:, None, None, :]).reshape(-1, C)
-    film = film.reshape(H * W, C).at[flat].add(contrib).reshape(H, W, C)
-    return film
+    for ox, oy in taps:
+        w = wx_all[ox] * wy_all[oy] * (in_x[ox] * in_y[oy])[:, None]
+        contrib = jnp.sum(w[None, :, :] * v, axis=2)  # (C, n_pix)
+        start = guard + pixel0 + oy * W + ox
+        seg = jax.lax.dynamic_slice(film_flat, (0, start), (C, n_pix))
+        film_flat = jax.lax.dynamic_update_slice(film_flat, seg + contrib, (0, start))
+    return film_flat
 
 
-def new_film(H, W, channels=5):
-    return jnp.zeros((H, W, channels), jnp.float32)
+def film_from_flat(film_flat, H, W, filter_type="gaussian", stddev=0.5):
+    """(C, flat) accumulator -> (H, W, C) image-layout film."""
+    guard = pad_rows(W, filter_type, stddev)
+    C = film_flat.shape[0]
+    return jnp.moveaxis(film_flat[:, guard : guard + H * W], 0, -1).reshape(H, W, C)
 
 
 def develop(film):
-    """XYZAW -> linear sRGB + alpha (hdrfilm.cpp:44-88)."""
+    """XYZAW (H, W, 5) -> linear sRGB + alpha (hdrfilm.cpp:44-88)."""
     xyz = film[..., 0:3]
     alpha = film[..., 3]
     weight = film[..., 4]
     inv_w = jnp.where(weight != 0.0, 1.0 / weight, 0.0)
-    rgb = spec.xyz_to_srgb(xyz) * inv_w[..., None]
+    rgb = spec.xyz_to_srgb_image(xyz) * inv_w[..., None]
     return rgb, alpha * inv_w
 
 

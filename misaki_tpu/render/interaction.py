@@ -1,67 +1,87 @@
 """SoA scene-interaction computation — barycentric surface records
 (reference: src/librender/mesh.cpp:50-101 compute_scene_interaction,
 interaction.h spawn_ray / initialize_sh_frame).
+
+Lane-last layout; ALL per-face data arrives via one one-hot matmul fetch of
+the packed face table (core/table.py — per-lane gathers are pathological on
+this TPU backend).
 """
 
 import jax.numpy as jnp
 
-from misaki_tpu.core import frame, math as m
+from misaki_tpu.core import frame, math as m, table, vec
+from misaki_tpu.scene.types import (
+    FC_BSDF,
+    FC_E1,
+    FC_E2,
+    FC_EMITTER,
+    FC_HAS_N,
+    FC_HAS_UV,
+    FC_N0,
+    FC_NG,
+    FC_P0,
+    FC_TANGENT,
+    FC_UV0,
+)
 
 
-def compute_interaction(scene, hit, o, d, wavelengths):
-    """hit: {"t", "prim", "u", "v"} from accel.traverse. Returns SoA dict:
-    valid, t, p, ng (geometric normal), sh (shading frame), uv, wi (local),
-    shape, bsdf, emitter.
+def fetch_face(scene, prim):
+    """One one-hot matmul fetch of all packed face columns -> (C, L)."""
+    return table.fetch(scene.geometry.face_tab, prim)
+
+
+def _rows3(fd, base):
+    return (fd[base], fd[base + 1], fd[base + 2])
+
+
+def compute_interaction(scene, hit, o, d, wavelengths, fd=None):
+    """hit: {"t", "prim", "u", "v"} from accel.traverse; o/d vec3 tuples.
+
+    Returns SoA dict: valid, t, p (vec3), ng (vec3), sh (frame), uv (vec2),
+    wi (vec3 local), prim, bsdf (int lanes), emitter (int lanes).
     """
-    g = scene.geometry
     prim = jnp.maximum(hit["prim"], 0)
     valid = hit["prim"] >= 0
-    b1 = hit["u"][:, None]
-    b2 = hit["v"][:, None]
+    if fd is None:
+        fd = fetch_face(scene, prim)
+    b1 = hit["u"]
+    b2 = hit["v"]
     b0 = 1.0 - b1 - b2
 
-    p0 = g.p0[prim]
-    e1 = g.e1[prim]
-    e2 = g.e2[prim]
-    p = p0 + e1 * b1 + e2 * b2
-    ng = m.normalize(jnp.cross(e1, e2))
+    # hit position from the ray (no table needed; equivalent to the
+    # barycentric formula in mesh.cpp:61 up to fp roundoff)
+    p = vec.add(o, vec.scale(d, hit["t"]))
+    p = vec.where(valid, p, o)
+    ng = _rows3(fd, FC_NG)
 
     # shading normal (mesh.cpp:83-99)
-    ns = m.normalize(g.n0[prim] * b0 + g.n1[prim] * b1 + g.n2[prim] * b2)
-    has_n = g.has_normals[prim]
-    n_sh = jnp.where(has_n[:, None], ns, ng)
+    n0 = _rows3(fd, FC_N0)
+    n1 = _rows3(fd, FC_N0 + 3)
+    n2 = _rows3(fd, FC_N0 + 6)
+    ns = vec.normalize(
+        vec.add(vec.scale(n0, b0), vec.add(vec.scale(n1, b1), vec.scale(n2, b2)))
+    )
+    has_n = fd[FC_HAS_N] > 0.5
+    n_sh = vec.where(has_n, ns, ng)
 
     # UVs: interpolated texcoords or barycentrics (mesh.cpp:66-73)
-    uv_interp = g.uv0[prim] * b0 + g.uv1[prim] * b1 + g.uv2[prim] * b2
-    uv = jnp.where(
-        g.has_uvs[prim][:, None],
-        uv_interp,
-        jnp.concatenate([b1, b2], axis=-1),
-    )
+    has_uv = fd[FC_HAS_UV] > 0.5
+    uv_u = fd[FC_UV0] * b0 + fd[FC_UV0 + 2] * b1 + fd[FC_UV0 + 4] * b2
+    uv_v = fd[FC_UV0 + 1] * b0 + fd[FC_UV0 + 3] * b1 + fd[FC_UV0 + 5] * b2
+    uv = (jnp.where(has_uv, uv_u, b1), jnp.where(has_uv, uv_v, b2))
 
-    # dp_du for the Gram-Schmidt sh frame: UV-derived partials when texcoords
-    # exist (mesh.cpp:68-79), else the canonical ONB of the normal.
-    duv1 = g.uv1[prim] - g.uv0[prim]
-    duv2 = g.uv2[prim] - g.uv0[prim]
-    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-    inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
-    dp_du_uv = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det[:, None]
-    s_canon, _ = frame.coordinate_system(ng)
-    use_uv = g.has_uvs[prim] & (det != 0.0)
-    dp_du = jnp.where(use_uv[:, None], dp_du_uv, s_canon)
-
-    # initialize_sh_frame (interaction.h:54-60): Gram-Schmidt dp_du against n
-    s_raw = dp_du - n_sh * m.dot(n_sh, dp_du)[:, None]
-    # fall back to canonical frame when degenerate
-    degenerate = m.dot(s_raw, s_raw) < 1e-12
+    # initialize_sh_frame (interaction.h:54-60): Gram-Schmidt the precompiled
+    # per-face tangent against the (possibly interpolated) shading normal
+    dp_du = _rows3(fd, FC_TANGENT)
+    s_raw = vec.sub(dp_du, vec.scale(n_sh, vec.dot(n_sh, dp_du)))
+    degenerate = vec.norm2(s_raw) < 1e-12
     s_fallback, _ = frame.coordinate_system(n_sh)
-    s = m.normalize(jnp.where(degenerate[:, None], s_fallback, s_raw))
-    t = jnp.cross(n_sh, s)
+    s = vec.normalize(vec.where(degenerate, s_fallback, s_raw))
+    t = vec.cross(n_sh, s)
     sh = {"s": s, "t": t, "n": n_sh}
 
-    wi = frame.to_local(sh, -d)
+    wi = frame.to_local(sh, vec.neg(d))
 
-    shape = jnp.where(valid, g.shape_idx[prim], 0)
     return {
         "valid": valid,
         "t": jnp.where(valid, hit["t"], jnp.inf),
@@ -71,12 +91,11 @@ def compute_interaction(scene, hit, o, d, wavelengths):
         "uv": uv,
         "wi": wi,
         "prim": hit["prim"],
-        "shape": shape,
-        "bsdf": jnp.where(valid, scene.shape_bsdf[shape], 0),
-        "emitter": jnp.where(valid, scene.shape_emitter[shape], -1),
+        "bsdf": jnp.where(valid, fd[FC_BSDF].astype(jnp.int32), 0),
+        "emitter": jnp.where(valid, fd[FC_EMITTER].astype(jnp.int32) - 1, -1),
     }
 
 
 def spawn_ray_mint(p):
     """Origin offset epsilon (interaction.h spawn_ray:40-44)."""
-    return (1.0 + jnp.max(jnp.abs(p), axis=-1)) * m.RayEpsilon
+    return (1.0 + vec.max_abs(p)) * m.RayEpsilon

@@ -2,16 +2,23 @@
 
 This is the TPU-native replacement for the reference's InstanceManager plugin
 instantiation (src/librender/manager.cpp) + Scene constructor
-(src/librender/scene.cpp:26-64): instead of building a pointer graph of
-virtual objects, we bake every plugin into rows of fixed tables that the
-wavefront kernels index with integers.
+(src/librender/scene.cpp:26-64): instead of a pointer graph of virtual
+objects, every plugin is baked into rows of packed column tables that the
+wavefront kernels fetch with one-hot matmuls (per-lane gathers are
+pathological on TPU — see core/table.py).
 
-Geometry is transformed to world space here (as obj.cpp does at load);
-sRGB colors are upsampled to sigmoid spectra here (replacing the rgb2spec
-table); per-emitter area CDFs are prebuilt here (mesh.cpp area_distr_build).
+Baking performed here:
+  * geometry to world space (as obj.cpp does at load), padded component rows
+    for the block intersector, plus the packed per-face column table
+    (normals/uvs/tangents/material+emitter ids);
+  * sRGB colors -> sigmoid spectra via per-color Gauss-Newton fits
+    (replacing the rgb2spec table; `uniform` values become degenerate
+    sigmoids, exactly);
+  * every BSDF + its textures -> one 67-column material row;
+  * every emitter spectrum -> (sigmoid coeff, 95-bin curve) pairs;
+  * per-emitter area CDFs (mesh.cpp area_distr_build).
 """
 
-import os
 from pathlib import Path
 
 import numpy as np
@@ -19,6 +26,7 @@ import numpy as np
 from misaki_tpu.core import transform as tr
 from misaki_tpu.core.cie_data import CIE_MAX, CIE_MIN, D65_DATA, D65_TABLE_NORMALIZATION
 from misaki_tpu.core.srgb_upsample import fit_srgb_coeffs
+from misaki_tpu.core.table import sigmoid_inverse
 from misaki_tpu.scene import procedural
 from misaki_tpu.scene.obj_loader import load_obj
 from misaki_tpu.scene.types import (
@@ -29,7 +37,6 @@ from misaki_tpu.scene.types import (
     BSDF_ROUGH_CONDUCTOR,
     BSDF_ROUGH_DIELECTRIC,
     BVH,
-    BSDFTable,
     Camera,
     CompiledScene,
     DIST_BECKMANN,
@@ -38,138 +45,139 @@ from misaki_tpu.scene.types import (
     EM_CONSTANT,
     EM_POINT,
     EmitterTable,
+    FC_BSDF,
+    FC_E1,
+    FC_E2,
+    FC_EMITTER,
+    FC_HAS_N,
+    FC_HAS_UV,
+    FC_N0,
+    FC_NG,
+    FC_P0,
+    FC_TANGENT,
+    FC_UV0,
     Geometry,
+    MaterialTable,
+    MC_ALPHA_U,
+    MC_ALPHA_V,
+    MC_DISTR,
+    MC_ETA,
+    MC_ETA_RGB,
+    MC_KIND,
+    MC_K_RGB,
+    MC_REFL,
+    MC_SPEC_REFL,
+    MC_SPEC_TRANS,
+    MC_TWOSIDED,
     MED_HOMOGENEOUS,
     MediumTable,
-    TEX_CHECKERBOARD,
-    TEX_D65,
-    TEX_SRGB,
-    TEX_SRGB_D65,
-    TEX_UNIFORM,
-    TextureTable,
+    N_FACE_COLS,
+    N_MAT_COLS,
 )
 
 _CIE_GRID = np.linspace(CIE_MIN, CIE_MAX, 95)
+_SIGMOID_ONE = 1e5  # sigmoid(1e5) == 1.0 in float32
 
 
-class _TextureBuilder:
-    """Interns texture plugins into SoA rows (render/textures.py interprets)."""
+# ---------------------------------------------------------------------------
+# texture slots
+# ---------------------------------------------------------------------------
 
-    def __init__(self):
-        self.kind = []
-        self.coeff = []
-        self.scale = []
-        self.child = []
-        self.uv_transform = []
-        self.rgb = []
-        self.reg_values = []
+def _color_to_coeff(plugin):
+    """srgb / uniform plugin -> sigmoid coefficient triple."""
+    t = plugin["type"]
+    p = plugin["props"]
+    if t == "srgb":
+        return fit_srgb_coeffs(np.asarray(p["color"], np.float64))
+    if t == "uniform":
+        return np.array([0.0, 0.0, float(sigmoid_inverse(p["value"]))])
+    raise ValueError(f"Cannot encode texture '{t}' as a reflectance spectrum")
 
-    def _push(self, kind, coeff=(0, 0, 0), scale=1.0, child=(-1, -1),
-              uv_t=None, rgb=(0, 0, 0), reg=None):
-        self.kind.append(kind)
-        self.coeff.append(np.asarray(coeff, np.float64))
-        self.scale.append(scale)
-        self.child.append(child)
-        self.uv_transform.append(
-            uv_t if uv_t is not None else np.array([[1, 0, 0], [0, 1, 0]], np.float64)
+
+def _uv_rows(to_uv):
+    m = np.asarray(to_uv, np.float64)
+    return np.array(
+        [m[0, 0], m[0, 1], m[0, 3], m[1, 0], m[1, 1], m[1, 3]]
+    )
+
+
+def spectral_slot(obj, name, default):
+    """13-column spectral texture slot for property `name` of plugin `obj`
+    (Properties::texture coercion semantics, properties.cpp:194-234)."""
+    child = None
+    for n, ch in obj["children"]:
+        if n == name:
+            child = ch
+    slot = np.zeros(13)
+    slot[7:13] = [1, 0, 0, 0, 1, 0]  # identity uv transform
+    if child is None:
+        v = obj["props"].get(name, default)
+        slot[1:4] = [0.0, 0.0, float(sigmoid_inverse(v))]
+        return slot
+    if child["type"] == "checkerboard":
+        c0 = None
+        c1 = None
+        for n2, ch2 in child["children"]:
+            if n2 == "color0":
+                c0 = ch2
+            if n2 == "color1":
+                c1 = ch2
+        # checkerboard.cpp defaults: color0=0.4, color1=0.2
+        cA = (
+            _color_to_coeff(c0)
+            if c0 is not None
+            else np.array([0.0, 0.0, sigmoid_inverse(0.4)])
         )
-        self.rgb.append(np.asarray(rgb, np.float64))
-        self.reg_values.append(
-            reg if reg is not None else np.zeros(95, np.float64)
+        cB = (
+            _color_to_coeff(c1)
+            if c1 is not None
+            else np.array([0.0, 0.0, sigmoid_inverse(0.2)])
         )
-        return len(self.kind) - 1
+        slot[0] = 1.0
+        slot[1:4] = cA
+        slot[4:7] = cB
+        slot[7:13] = _uv_rows(child["props"].get("to_uv", tr.identity()))
+        return slot
+    slot[1:4] = _color_to_coeff(child)
+    return slot
 
-    def uniform(self, value):
-        return self._push(TEX_UNIFORM, coeff=(value, 0, 0), rgb=(value,) * 3)
 
-    def srgb(self, color):
-        return self._push(TEX_SRGB, coeff=fit_srgb_coeffs(color), rgb=color)
+def scalar_slot(obj, name, default):
+    """9-column scalar texture slot (alphas)."""
+    child = None
+    for n, ch in obj["children"]:
+        if n == name:
+            child = ch
+    slot = np.zeros(9)
+    slot[3:9] = [1, 0, 0, 0, 1, 0]
+    if child is None:
+        slot[1] = slot[2] = float(obj["props"].get(name, default))
+        return slot
+    if child["type"] == "uniform":
+        slot[1] = slot[2] = float(child["props"]["value"])
+        return slot
+    if child["type"] == "checkerboard":
+        vals = {"color0": 0.4, "color1": 0.2}
+        for n2, ch2 in child["children"]:
+            if n2 in vals and ch2["type"] == "uniform":
+                vals[n2] = float(ch2["props"]["value"])
+        slot[0] = 1.0
+        slot[1] = vals["color0"]
+        slot[2] = vals["color1"]
+        slot[3:9] = _uv_rows(child["props"].get("to_uv", tr.identity()))
+        return slot
+    raise ValueError(f"Unsupported scalar texture '{child['type']}'")
 
-    def srgb_d65(self, color, scale=1.0):
-        """srgb_d65.cpp:15-40 — normalize by 2*max, fold into a d65 scale."""
-        color = np.asarray(color, np.float64)
-        s = float(color.max()) * 2.0
-        if s != 0.0:
-            color = color / s
-        coeff = fit_srgb_coeffs(color)
-        d65 = D65_DATA * (scale * s * D65_TABLE_NORMALIZATION)
-        return self._push(TEX_SRGB_D65, coeff=coeff, scale=scale * s,
-                          rgb=color, reg=d65)
 
-    def d65(self, scale=1.0):
-        d65 = D65_DATA * (scale * D65_TABLE_NORMALIZATION)
-        return self._push(TEX_D65, scale=scale, reg=d65, rgb=(1.0, 1.0, 1.0))
-
-    def regular(self, lambda_min, lambda_max, values):
-        """Resample any regular spectrum onto the common 95-bin CIE grid."""
-        src_grid = np.linspace(lambda_min, lambda_max, len(values))
-        reg = np.interp(_CIE_GRID, src_grid, values, left=values[0], right=values[-1])
-        # Outside the declared range the reference clamps to edge bins too
-        # (regular.cpp eval_pdf index clamp) so edge extension matches.
-        return self._push(TEX_D65, scale=1.0, reg=reg,
-                          rgb=(float(np.mean(values)),) * 3)
-
-    def checkerboard(self, tex0, tex1, uv_transform_3x3):
-        uv_t = np.asarray(uv_transform_3x3, np.float64)[:2, :3]
-        return self._push(TEX_CHECKERBOARD, child=(tex0, tex1), uv_t=uv_t)
-
-    def from_plugin(self, obj):
-        t = obj["type"]
-        p = obj["props"]
-        if t == "uniform":
-            return self.uniform(float(p["value"]))
-        if t == "srgb":
-            return self.srgb(np.asarray(p["color"], np.float64))
-        if t == "srgb_d65":
-            return self.srgb_d65(np.asarray(p["color"], np.float64),
-                                 float(p.get("scale", 1.0)))
-        if t == "d65":
-            return self.d65(float(p.get("scale", 1.0)))
-        if t == "regular":
-            return self.regular(p["lambda_min"], p["lambda_max"],
-                                np.asarray(p["values"], np.float64))
-        if t == "checkerboard":
-            c0 = self.child_tex(obj, "color0", 0.4)
-            c1 = self.child_tex(obj, "color1", 0.2)
-            uv_t = p.get("to_uv", tr.identity())
-            uv3 = np.asarray(uv_t, np.float64)[:3, :3]
-            # 2D affine from the 4x4's upper block (Transform4f::extract)
-            m = np.eye(3)
-            m[:2, :2] = uv3[:2, :2]
-            m[:2, 2] = np.asarray(uv_t, np.float64)[:2, 3]
-            return self.checkerboard(c0, c1, m)
-        raise ValueError(f"Unsupported texture plugin '{t}'")
-
-    def child_tex(self, obj, name, default):
-        """Properties::texture semantics: named child plugin, else a uniform
-        constant default (properties.cpp:194-234)."""
-        for n, ch in obj["children"]:
-            if n == name:
-                return self.from_plugin(ch)
-        if name in obj["props"]:
-            v = obj["props"][name]
-            if isinstance(v, (int, float)):
-                return self.uniform(float(v))
-        return self.uniform(float(default))
-
-    def finalize(self):
-        return TextureTable(
-            kind=np.asarray(self.kind, np.int32),
-            coeff=np.asarray(self.coeff, np.float32),
-            scale=np.asarray(self.scale, np.float32),
-            child=np.asarray(self.child, np.int32),
-            uv_transform=np.asarray(self.uv_transform, np.float32),
-            reg_values=np.asarray(self.reg_values, np.float32),
-            rgb=np.asarray(self.rgb, np.float32),
-        )
-
+# ---------------------------------------------------------------------------
+# materials
+# ---------------------------------------------------------------------------
 
 _DIST_MAP = {"beckmann": DIST_BECKMANN, "ggx": DIST_GGX}
 
 
-class _BSDFBuilder:
-    def __init__(self, textures):
-        self.tex = textures
+class _MaterialBuilder:
+    def __init__(self):
         self.rows = []
         self._cache = {}
 
@@ -179,69 +187,63 @@ class _BSDFBuilder:
             return self._cache[key]
         t = obj["type"]
         p = obj["props"]
-        row = {
-            "kind": BSDF_DIFFUSE,
-            "twosided": False,
-            "distr_type": _DIST_MAP.get(p.get("distribution", "beckmann"), DIST_BECKMANN),
-            "reflectance_tex": -1,
-            "specular_reflectance_tex": -1,
-            "specular_transmittance_tex": -1,
-            "alpha_u_tex": -1,
-            "alpha_v_tex": -1,
-            "eta": 1.5,
-            "eta_rgb": np.zeros(3),
-            "k_rgb": np.ones(3),
-        }
+        row = np.zeros(N_MAT_COLS)
+        row[MC_ETA] = 1.5
+        row[MC_K_RGB : MC_K_RGB + 3] = 1.0
+        row[MC_DISTR] = _DIST_MAP.get(p.get("distribution", "beckmann"), DIST_BECKMANN)
+
         if t == "twosided":
-            # twosided.cpp: adapter around (up to two) nested BSDFs; the live
-            # scenes always nest one — flatten to a flag.
+            # twosided.cpp adapter flattened to a flag; live scenes nest one.
             nested = [ch for _, ch in obj["children"] if ch["type"] != "twosided"]
             if not nested:
                 raise ValueError("twosided: a nested one-sided material is required")
             inner = self.compile(nested[0])
+            row = self.rows[inner].copy()
+            row[MC_TWOSIDED] = 1.0
             idx = len(self.rows)
-            self.rows.append({**self.rows[inner], "twosided": True})
+            self.rows.append(row)
             self._cache[key] = idx
             return idx
+
         if t == "diffuse":
-            row["kind"] = BSDF_DIFFUSE
-            row["reflectance_tex"] = self.tex.child_tex(obj, "reflectance", 0.5)
-        elif t == "roughconductor":
-            row["kind"] = BSDF_ROUGH_CONDUCTOR
-            row["specular_reflectance_tex"] = self.tex.child_tex(
+            row[MC_KIND] = BSDF_DIFFUSE
+            row[MC_REFL : MC_REFL + 13] = spectral_slot(obj, "reflectance", 0.5)
+        elif t in ("roughconductor", "conductor"):
+            row[MC_KIND] = (
+                BSDF_ROUGH_CONDUCTOR if t == "roughconductor" else BSDF_CONDUCTOR
+            )
+            row[MC_SPEC_REFL : MC_SPEC_REFL + 13] = spectral_slot(
                 obj, "specular_reflectance", 1.0
             )
-            au, av = self._alphas(obj, p)
-            row["alpha_u_tex"], row["alpha_v_tex"] = au, av
-            row["eta_rgb"], row["k_rgb"] = self._conductor_ior(obj, p)
-        elif t == "conductor":
-            row["kind"] = BSDF_CONDUCTOR
-            row["specular_reflectance_tex"] = self.tex.child_tex(
-                obj, "specular_reflectance", 1.0
-            )
-            row["eta_rgb"], row["k_rgb"] = self._conductor_ior(obj, p)
+            self._alphas(obj, p, row)
+            eta, k = self._conductor_ior(obj, p)
+            row[MC_ETA_RGB : MC_ETA_RGB + 3] = eta
+            row[MC_K_RGB : MC_K_RGB + 3] = k
         elif t == "roughdielectric":
-            row["kind"] = BSDF_ROUGH_DIELECTRIC
-            row["specular_reflectance_tex"] = self.tex.child_tex(
+            row[MC_KIND] = BSDF_ROUGH_DIELECTRIC
+            row[MC_SPEC_REFL : MC_SPEC_REFL + 13] = spectral_slot(
                 obj, "specular_reflectance", 1.0
             )
-            row["specular_transmittance_tex"] = self.tex.child_tex(
+            row[MC_SPEC_TRANS : MC_SPEC_TRANS + 13] = spectral_slot(
                 obj, "specular_transmittance", 1.0
             )
-            au, av = self._alphas(obj, p)
-            row["alpha_u_tex"], row["alpha_v_tex"] = au, av
-            row["eta"] = float(p.get("int_ior", 1.5046)) / float(p.get("ext_ior", 1.00028))
+            self._alphas(obj, p, row)
+            row[MC_ETA] = float(p.get("int_ior", 1.5046)) / float(
+                p.get("ext_ior", 1.00028)
+            )
         elif t == "dielectric":
-            row["kind"] = BSDF_DIELECTRIC
-            row["specular_reflectance_tex"] = self.tex.child_tex(
+            row[MC_KIND] = BSDF_DIELECTRIC
+            row[MC_SPEC_REFL : MC_SPEC_REFL + 13] = spectral_slot(
                 obj, "specular_reflectance", 1.0
             )
-            row["specular_transmittance_tex"] = self.tex.child_tex(
+            row[MC_SPEC_TRANS : MC_SPEC_TRANS + 13] = spectral_slot(
                 obj, "specular_transmittance", 1.0
             )
-            row["eta"] = float(p.get("int_ior", 1.49)) / float(p.get("ext_ior", 1.00028))
+            row[MC_ETA] = float(p.get("int_ior", 1.49)) / float(
+                p.get("ext_ior", 1.00028)
+            )
         elif t == "null":
-            row["kind"] = BSDF_NULL
+            row[MC_KIND] = BSDF_NULL
         else:
             raise ValueError(f"Unsupported BSDF plugin '{t}'")
         idx = len(self.rows)
@@ -249,23 +251,27 @@ class _BSDFBuilder:
         self._cache[key] = idx
         return idx
 
-    def _alphas(self, obj, p):
-        if "alpha_u" in p or "alpha_v" in p:
-            return (
-                self.tex.child_tex(obj, "alpha_u", 0.1),
-                self.tex.child_tex(obj, "alpha_v", 0.1),
-            )
-        a = self.tex.child_tex(obj, "alpha", 0.1)
-        return a, a
+    def _alphas(self, obj, p, row):
+        if "alpha_u" in p or self._has_child(obj, "alpha_u"):
+            row[MC_ALPHA_U : MC_ALPHA_U + 9] = scalar_slot(obj, "alpha_u", 0.1)
+            row[MC_ALPHA_V : MC_ALPHA_V + 9] = scalar_slot(obj, "alpha_v", 0.1)
+        else:
+            a = scalar_slot(obj, "alpha", 0.1)
+            row[MC_ALPHA_U : MC_ALPHA_U + 9] = a
+            row[MC_ALPHA_V : MC_ALPHA_V + 9] = a
+
+    @staticmethod
+    def _has_child(obj, name):
+        return any(n == name for n, _ in obj["children"])
 
     def _conductor_ior(self, obj, p):
         eta = np.zeros(3)
         k = np.ones(3)
         for name, ch in obj["children"]:
-            if name == "eta":
-                eta = np.asarray(ch["props"].get("color", (0, 0, 0)), np.float64)
-            if name == "k":
-                k = np.asarray(ch["props"].get("color", (1, 1, 1)), np.float64)
+            if name == "eta" and "color" in ch["props"]:
+                eta = np.asarray(ch["props"]["color"], np.float64)
+            if name == "k" and "color" in ch["props"]:
+                k = np.asarray(ch["props"]["color"], np.float64)
         if "eta" in p:
             eta = np.asarray(p["eta"], np.float64)
         if "k" in p:
@@ -274,37 +280,58 @@ class _BSDFBuilder:
 
     def finalize(self):
         if not self.rows:
-            # guarantee at least one row so tables are never empty
-            self.rows.append(
-                {
-                    "kind": BSDF_DIFFUSE,
-                    "twosided": False,
-                    "distr_type": DIST_BECKMANN,
-                    "reflectance_tex": self.tex.uniform(0.5),
-                    "specular_reflectance_tex": -1,
-                    "specular_transmittance_tex": -1,
-                    "alpha_u_tex": -1,
-                    "alpha_v_tex": -1,
-                    "eta": 1.5,
-                    "eta_rgb": np.zeros(3),
-                    "k_rgb": np.ones(3),
-                }
-            )
-        get = lambda k, dt: np.asarray([r[k] for r in self.rows], dt)
-        return BSDFTable(
-            kind=get("kind", np.int32),
-            twosided=get("twosided", bool),
-            distr_type=get("distr_type", np.int32),
-            reflectance_tex=get("reflectance_tex", np.int32),
-            specular_reflectance_tex=get("specular_reflectance_tex", np.int32),
-            specular_transmittance_tex=get("specular_transmittance_tex", np.int32),
-            alpha_u_tex=get("alpha_u_tex", np.int32),
-            alpha_v_tex=get("alpha_v_tex", np.int32),
-            eta=get("eta", np.float32),
-            eta_rgb=np.stack([r["eta_rgb"] for r in self.rows]).astype(np.float32),
-            k_rgb=np.stack([r["k_rgb"] for r in self.rows]).astype(np.float32),
-        )
+            self.compile({"type": "diffuse", "props": {}, "children": []})
+        B = len(self.rows)
+        Bpad = max(8, B)
+        params = np.zeros((N_MAT_COLS, Bpad), np.float32)
+        params[:, :B] = np.stack(self.rows, axis=-1)
+        return MaterialTable(params=params)
 
+
+# ---------------------------------------------------------------------------
+# emitter radiance spectra -> (coeff, curve)
+# ---------------------------------------------------------------------------
+
+def _radiance_model(obj):
+    """Emitter radiance plugin -> (sigmoid coeff (3,), curve (95,)).
+
+    area.cpp / constant.cpp default: Texture::D65(1).
+    """
+    rad = None
+    for n, ch in obj["children"]:
+        if n in ("radiance", "intensity"):
+            rad = ch
+    one = np.array([0.0, 0.0, _SIGMOID_ONE])
+    d65 = D65_DATA * D65_TABLE_NORMALIZATION
+    if rad is None:
+        return one, d65
+    t = rad["type"]
+    p = rad["props"]
+    if t == "srgb_d65":
+        # srgb_d65.cpp:15-40 — normalize by 2*max, fold into the d65 scale
+        color = np.asarray(p["color"], np.float64)
+        s = float(color.max()) * 2.0
+        if s != 0.0:
+            color = color / s
+        coeff = fit_srgb_coeffs(color)
+        return coeff, d65 * (float(p.get("scale", 1.0)) * s)
+    if t == "d65":
+        return one, d65 * float(p.get("scale", 1.0))
+    if t == "uniform":
+        return one, np.full(95, float(p["value"]))
+    if t == "regular":
+        values = np.asarray(p["values"], np.float64)
+        src = np.linspace(p["lambda_min"], p["lambda_max"], len(values))
+        curve = np.interp(_CIE_GRID, src, values, left=values[0], right=values[-1])
+        return one, curve
+    if t == "srgb":
+        return fit_srgb_coeffs(np.asarray(p["color"], np.float64)), np.ones(95)
+    raise ValueError(f"Unsupported emitter radiance '{t}'")
+
+
+# ---------------------------------------------------------------------------
+# shapes / meshes
+# ---------------------------------------------------------------------------
 
 def _find_child(obj, type_names, name=None):
     for n, ch in obj["children"]:
@@ -330,29 +357,29 @@ def _load_mesh_for_shape(shape, base_dir):
             )
         return mesh
     if shape["type"] == "rectangle":
-        mesh = procedural.rectangle()
-        return procedural.get_procedural_mesh("rectangle.obj", to_world) or mesh
+        return procedural.get_procedural_mesh("rectangle.obj", to_world)
     if shape["type"] == "sphere":
         radius = float(p.get("radius", 1.0))
         center = np.asarray(p.get("center", (0, 0, 0)), np.float64)
         m = procedural.sphere_standin(radius, center, sub=4)
         if to_world is not None:
-            m = procedural._tris_mesh(
-                m["positions"], m["normals"], m["uvs"], to_world
-            )
+            m = procedural._tris_mesh(m["positions"], m["normals"], m["uvs"], to_world)
         return m
     raise ValueError(f"Unsupported shape plugin '{shape['type']}'")
 
 
 _INTEGRATOR_TYPES = {"path", "aov", "debug", "volpath", "direct"}
-_EMITTER_TYPES = {"area", "constant", "point", "envmap"}
+_BSDF_TYPES = {
+    "diffuse", "roughconductor", "roughdielectric", "dielectric",
+    "twosided", "conductor", "null",
+}
 
 
-def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
+def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
+                  accel=None):
     """Lower a loaded scene description to a CompiledScene."""
     base_dir = desc.get("base_dir", ".")
-    tex = _TextureBuilder()
-    bsdfs = _BSDFBuilder(tex)
+    materials = _MaterialBuilder()
 
     # ---------------- integrator / sensor / film / sampler ----------------
     integ = _find_child(desc, _INTEGRATOR_TYPES) or {
@@ -391,8 +418,6 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
     media_rows = []
 
     def compile_medium(obj):
-        p = obj["props"]
-
         def _rgb_of(name, default):
             for n, ch in obj["children"]:
                 if n == name and "color" in ch["props"]:
@@ -401,16 +426,17 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
 
         sigma_s = _rgb_of("sigma_s", (0.0, 0.0, 0.0))
         sigma_a = _rgb_of("sigma_a", (0.0, 0.0, 0.0))
-        row = {
-            "kind": MED_HOMOGENEOUS,
-            "sigma_s": sigma_s,
-            "sigma_a": sigma_a,
-            "sigma_s_coeff": fit_srgb_coeffs(np.clip(sigma_s, 0, 1)),
-            "sigma_a_coeff": fit_srgb_coeffs(np.clip(sigma_a, 0, 1)),
-            "scale": float(p.get("scale", 1.0)),
-            "g": float(p.get("g", 0.0)),
-        }
-        media_rows.append(row)
+        media_rows.append(
+            {
+                "kind": MED_HOMOGENEOUS,
+                "sigma_s": sigma_s,
+                "sigma_a": sigma_a,
+                "sigma_s_coeff": fit_srgb_coeffs(np.clip(sigma_s, 0, 1)),
+                "sigma_a_coeff": fit_srgb_coeffs(np.clip(sigma_a, 0, 1)),
+                "scale": float(obj["props"].get("scale", 1.0)),
+                "g": float(obj["props"].get("g", 0.0)),
+            }
+        )
         return len(media_rows) - 1
 
     # ---------------- shapes + geometry + area emitters ----------------
@@ -421,12 +447,11 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
     for name, ch in desc["children"]:
         if ch["type"] in ("obj", "rectangle", "sphere"):
             mesh = _load_mesh_for_shape(ch, base_dir)
-            bsdf_obj = _find_child(ch, {
-                "diffuse", "roughconductor", "roughdielectric", "dielectric",
-                "twosided", "conductor", "null",
-            })
-            bsdf_idx = bsdfs.compile(bsdf_obj) if bsdf_obj else bsdfs.compile(
-                {"type": "diffuse", "props": {}, "children": []}
+            bsdf_obj = _find_child(ch, _BSDF_TYPES)
+            bsdf_idx = (
+                materials.compile(bsdf_obj)
+                if bsdf_obj
+                else materials.compile({"type": "diffuse", "props": {}, "children": []})
             )
             em = _find_child(ch, {"area"})
             emitter_idx = -1
@@ -456,10 +481,9 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
     if not face_blocks:
         raise ValueError("Scene has no shapes")
 
-    # concatenate all faces
-    P = np.concatenate([b["positions"] for b in face_blocks], axis=0)
-    Nrm = np.concatenate([b["normals"] for b in face_blocks], axis=0)
-    UV = np.concatenate([b["uvs"] for b in face_blocks], axis=0)
+    P = np.concatenate([b["positions"] for b in face_blocks], axis=0).astype(np.float64)
+    Nrm = np.concatenate([b["normals"] for b in face_blocks], axis=0).astype(np.float64)
+    UV = np.concatenate([b["uvs"] for b in face_blocks], axis=0).astype(np.float64)
     shape_idx = np.concatenate(
         [np.full(len(b["positions"]), i, np.int32) for i, b in enumerate(face_blocks)]
     )
@@ -473,19 +497,52 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
     p0 = P[:, 0]
     e1 = P[:, 1] - P[:, 0]
     e2 = P[:, 2] - P[:, 0]
+
+    from misaki_tpu.accel.traverse import FACE_BLOCK
+
+    Fpad = max(FACE_BLOCK, -(-F // FACE_BLOCK) * FACE_BLOCK)
+
+    def comp_rows(a):
+        out = np.zeros((3, Fpad), np.float32)
+        out[:, :F] = a.T
+        return out
+
+    # geometric normal + raw dp_du tangent (mesh.cpp:62-79) precomputed
+    ng = np.cross(e1, e2)
+    ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    duv1 = UV[:, 1] - UV[:, 0]
+    duv2 = UV[:, 2] - UV[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    inv_det = np.where(det != 0.0, 1.0 / np.where(det == 0.0, 1.0, det), 0.0)
+    dp_du_uv = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det[:, None]
+    # canonical ONB fallback (coordinate_system on ng)
+    sign = np.where(ng[:, 2] >= 0.0, 1.0, -1.0)
+    a_ = -1.0 / (sign + ng[:, 2])
+    b_ = ng[:, 0] * ng[:, 1] * a_
+    s_canon = np.stack(
+        [1.0 + sign * ng[:, 0] ** 2 * a_, sign * b_, -sign * ng[:, 0]], -1
+    )
+    use_uv = has_uv & (det != 0.0)
+    tangent = np.where(use_uv[:, None], dp_du_uv, s_canon)
+
+    shape_bsdf = np.asarray([r["bsdf"] for r in shape_rows], np.int32)
+    shape_emitter = np.asarray([r["emitter"] for r in shape_rows], np.int32)
+
+    face_tab = np.zeros((N_FACE_COLS, Fpad), np.float32)
+    face_tab[FC_NG : FC_NG + 3, :F] = ng.T
+    face_tab[FC_TANGENT : FC_TANGENT + 3, :F] = tangent.T
+    face_tab[FC_N0 : FC_N0 + 9, :F] = Nrm.reshape(F, 9).T
+    face_tab[FC_UV0 : FC_UV0 + 6, :F] = UV.reshape(F, 6).T
+    face_tab[FC_BSDF, :F] = shape_bsdf[shape_idx]
+    face_tab[FC_EMITTER, :F] = shape_emitter[shape_idx] + 1  # 0 = none
+    face_tab[FC_HAS_N, :F] = has_n
+    face_tab[FC_HAS_UV, :F] = has_uv
+    face_tab[FC_E1 : FC_E1 + 3, :F] = e1.T
+    face_tab[FC_E2 : FC_E2 + 3, :F] = e2.T
+    face_tab[FC_P0 : FC_P0 + 3, :F] = p0.T
+
     geom = Geometry(
-        p0=p0.astype(np.float32),
-        e1=e1.astype(np.float32),
-        e2=e2.astype(np.float32),
-        n0=Nrm[:, 0].astype(np.float32),
-        n1=Nrm[:, 1].astype(np.float32),
-        n2=Nrm[:, 2].astype(np.float32),
-        uv0=UV[:, 0].astype(np.float32),
-        uv1=UV[:, 1].astype(np.float32),
-        uv2=UV[:, 2].astype(np.float32),
-        shape_idx=shape_idx,
-        has_normals=has_n,
-        has_uvs=has_uv,
+        p0=comp_rows(p0), e1=comp_rows(e1), e2=comp_rows(e2), face_tab=face_tab
     )
 
     # scene bbox -> bounding sphere (constant.cpp set_scene)
@@ -496,26 +553,20 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
     radius = max(8.94e-5, radius * (1.0 + 8.94e-5))
 
     # ---------------- emitters ----------------
-    em_kind, em_shape, em_tex, em_pos = [], [], [], []
-    em_face_global, em_face_cdf, em_area = [], [], []
     face_area = 0.5 * np.linalg.norm(np.cross(e2, e1), axis=-1)
-
+    em_kind, em_shape, em_pos = [], [], []
+    em_coeff, em_curve = [], []
+    em_face_global, em_face_cdf, em_area = [], [], []
     env_idx = -1
     for ei, (kind, s_idx, obj) in enumerate(emitter_objs):
         em_kind.append(kind)
         em_shape.append(s_idx)
         em_pos.append(np.asarray(obj["props"].get("position", (0, 0, 0)), np.float64))
-        # radiance texture (area.cpp / constant.cpp default: D65(1))
-        rad = None
-        for n2, ch2 in obj["children"]:
-            if n2 in ("radiance", "intensity"):
-                rad = tex.from_plugin(ch2)
-        if rad is None:
-            rad = tex.d65(1.0)
-        em_tex.append(rad)
+        coeff, curve = _radiance_model(obj)
+        em_coeff.append(coeff)
+        em_curve.append(curve)
         if kind == EM_AREA:
-            mask = shape_idx == s_idx
-            fidx = np.nonzero(mask)[0]
+            fidx = np.nonzero(shape_idx == s_idx)[0]
             areas = face_area[fidx]
             total = float(areas.sum())
             cdf = np.cumsum(areas) / max(total, 1e-30)
@@ -531,18 +582,27 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
 
     n_emitters = len(em_kind)
     fmax = max([len(f) for f in em_face_global], default=1)
-    fg_pad = np.zeros((n_emitters, fmax), np.int32)
-    fc_pad = np.ones((n_emitters, fmax), np.float32)
+    fg_pad = np.zeros((max(n_emitters, 1), fmax), np.int32)
+    fc_pad = np.ones((max(n_emitters, 1), fmax), np.float32)
     for i, (fg, fc) in enumerate(zip(em_face_global, em_face_cdf)):
         fg_pad[i, : len(fg)] = fg
         fg_pad[i, len(fg):] = fg[-1] if len(fg) else 0
         fc_pad[i, : len(fc)] = fc
+
     emitters = EmitterTable(
         kind=np.asarray(em_kind, np.int32).reshape(-1),
         shape=np.asarray(em_shape, np.int32).reshape(-1),
-        radiance_tex=np.asarray(em_tex, np.int32).reshape(-1),
+        rad_coeff=(
+            np.stack(em_coeff).astype(np.float32)
+            if em_coeff else np.zeros((0, 3), np.float32)
+        ),
+        rad_curve=(
+            np.stack(em_curve).astype(np.float32)
+            if em_curve else np.zeros((0, 95), np.float32)
+        ),
         position=(
-            np.stack(em_pos).astype(np.float32) if em_pos else np.zeros((0, 3), np.float32)
+            np.stack(em_pos).astype(np.float32)
+            if em_pos else np.zeros((0, 3), np.float32)
         ),
         face_global=fg_pad,
         face_cdf=fc_pad,
@@ -550,10 +610,6 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
         bsphere_center=center.astype(np.float32),
         bsphere_radius=np.float32(radius),
     )
-
-    # ---------------- finalize tables ----------------
-    bsdf_table = bsdfs.finalize()
-    tex_table = tex.finalize()
 
     media = MediumTable(
         kind=(
@@ -588,19 +644,21 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None):
 
     from misaki_tpu.accel.build import build_bvh
 
-    bvh = build_bvh(p0, e1, e2)
+    # accel="brute" forces the gather-free block intersector even for large
+    # scenes (per-lane gathers hang on the axon TPU backend; the BVH path is
+    # for CPU/testing until the Pallas traversal kernel lands).
+    bvh = build_bvh(p0, e1, e2, force_brute=(accel == "brute"))
 
     ip = integ["props"]
     scene = CompiledScene(
         geometry=geom,
         bvh=bvh,
-        textures=tex_table,
-        bsdfs=bsdf_table,
+        materials=materials.finalize(),
         emitters=emitters,
         media=media,
         camera=camera,
-        shape_bsdf=np.asarray([r["bsdf"] for r in shape_rows], np.int32),
-        shape_emitter=np.asarray([r["emitter"] for r in shape_rows], np.int32),
+        shape_bsdf=shape_bsdf,
+        shape_emitter=shape_emitter,
         shape_interior_medium=np.asarray([r["interior"] for r in shape_rows], np.int32),
         shape_exterior_medium=np.asarray([r["exterior"] for r in shape_rows], np.int32),
         film_width=W,

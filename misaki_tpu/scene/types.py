@@ -70,64 +70,81 @@ def pytree_dataclass(cls):
     return cls
 
 
+# ---- packed face-table column indices (Geometry.face_tab rows) ----
+# Fetched per hit with ONE one-hot matmul (core/table.py fetch) — per-lane
+# gathers are pathological on TPU, so every per-face quantity lives here.
+FC_NG = 0          # 0-2  geometric normal
+FC_TANGENT = 3     # 3-5  raw dp_du (UV-derived or canonical ONB fallback)
+FC_N0 = 6          # 6-14 vertex shading normals n0, n1, n2
+FC_UV0 = 15        # 15-20 vertex texcoords uv0, uv1, uv2
+FC_BSDF = 21       # material id (float-encoded int)
+FC_EMITTER = 22    # emitter id + 1 (0 = none)
+FC_HAS_N = 23      # 0/1
+FC_HAS_UV = 24     # 0/1
+FC_E1 = 25         # 25-27 edge1 (for hit-position reconstruction paths)
+FC_E2 = 28         # 28-30 edge2
+FC_P0 = 31         # 31-33 first vertex
+N_FACE_COLS = 34
+
+
+# ---- packed material-table column indices (MaterialTable.params rows) ----
+# One fetch per bounce; texture slots are fully baked in (no indirection):
+# a "spectral slot" is 13 columns [is_checker, cA(3), cB(3), uvT(2x3)] where
+# cA/cB are sigmoid-model coefficients (uniform values are encoded as
+# degenerate sigmoids via table.sigmoid_inverse); a "scalar slot" is
+# 9 columns [is_checker, vA, vB, uvT(2x3)].
+MC_KIND = 0
+MC_TWOSIDED = 1
+MC_DISTR = 2
+MC_ETA = 3
+MC_ETA_RGB = 4     # 4-6
+MC_K_RGB = 7       # 7-9
+MC_REFL = 10       # 10-22 spectral slot: reflectance
+MC_SPEC_REFL = 23  # 23-35 spectral slot: specular reflectance
+MC_SPEC_TRANS = 36  # 36-48 spectral slot: specular transmittance
+MC_ALPHA_U = 49    # 49-57 scalar slot
+MC_ALPHA_V = 58    # 58-66 scalar slot
+N_MAT_COLS = 67
+
+SPEC_SLOT_COLS = 13
+SCALAR_SLOT_COLS = 9
+
+
 @pytree_dataclass
 class Geometry:
-    """All triangles of all shapes concatenated, world-space, SoA.
+    """All triangles of all shapes concatenated, world-space, component-major
+    SoA (lane-last layout, see core/vec.py).
 
     Mirrors the reference Mesh's interleaved buffers (mesh.h:89-93) but
-    decomposed into planes and pre-transformed to world space at compile time
-    (obj.cpp applies to_world at load too).
+    decomposed into component rows, pre-transformed to world space at compile
+    time (obj.cpp applies to_world at load too), and padded to a FACE_BLOCK
+    multiple so the brute-force intersector streams full VPU tiles.
     """
 
-    p0: Any  # (F, 3) float32 — first vertex
-    e1: Any  # (F, 3) — v1 - v0
-    e2: Any  # (F, 3) — v2 - v0
-    n0: Any  # (F, 3) shading normals at vertices (geometric if absent)
-    n1: Any
-    n2: Any
-    uv0: Any  # (F, 2)
-    uv1: Any
-    uv2: Any
-    shape_idx: Any      # (F,) int32 shape id per face
-    has_normals: Any    # (F,) bool — per-face vertex-normal availability
-    has_uvs: Any        # (F,) bool
+    p0: Any  # (3, Fpad) float32 — first-vertex component rows
+    e1: Any  # (3, Fpad) — v1 - v0
+    e2: Any  # (3, Fpad) — v2 - v0
+    face_tab: Any  # (N_FACE_COLS, Fpad) float32 — packed per-face columns
 
 
 @pytree_dataclass
-class TextureTable:
-    """SoA texture records; `eval_texture` in render/textures.py interprets."""
+class MaterialTable:
+    """Packed per-material parameter columns (N_MAT_COLS, Bpad) — the
+    differentiable material parameter store. Replaces the reference's
+    BSDF + Texture object graph with one flat matrix fetched per bounce."""
 
-    kind: Any        # (T,) int32
-    coeff: Any       # (T, 3) float32 — sigmoid coeffs, or [value, 0, 0]
-    scale: Any       # (T,) float32 — multiplier (d65 scale etc.)
-    child: Any       # (T, 2) int32 — checkerboard children (-1 otherwise)
-    uv_transform: Any  # (T, 2, 3) float32 — affine UV transform rows
-    reg_values: Any  # (T, 95) float32 — regular spectrum on the CIE grid
-    rgb: Any         # (T, 3) float32 — source RGB (for eval_3-style queries)
-
-
-@pytree_dataclass
-class BSDFTable:
-    """SoA material records (one per shape's resolved BSDF)."""
-
-    kind: Any           # (B,) int32
-    twosided: Any       # (B,) bool — twosided.cpp adapter flattened to a flag
-    distr_type: Any     # (B,) int32 (microfacet)
-    reflectance_tex: Any       # (B,) int32
-    specular_reflectance_tex: Any   # (B,) int32
-    specular_transmittance_tex: Any  # (B,) int32
-    alpha_u_tex: Any    # (B,) int32
-    alpha_v_tex: Any    # (B,) int32
-    eta: Any            # (B,) float32 — dielectric int_ior/ext_ior ratio
-    eta_rgb: Any        # (B, 3) float32 — conductor complex IOR (real)
-    k_rgb: Any          # (B, 3) float32 — conductor complex IOR (imag)
+    params: Any  # (N_MAT_COLS, Bpad) float32
 
 
 @pytree_dataclass
 class EmitterTable:
     kind: Any          # (E,) int32
     shape: Any         # (E,) int32 — owning shape for area lights (-1 else)
-    radiance_tex: Any  # (E,) int32
+    # Radiance model: L(lambda) = hat_eval(rad_curve) * sigmoid(rad_coeff).
+    # All reference spectra plugins collapse into this form: srgb_d65 =
+    # d65-curve x sigmoid; d65/regular = curve x 1; uniform = flat curve x 1.
+    rad_coeff: Any     # (E, 3) float32 — sigmoid coefficients (nm domain)
+    rad_curve: Any     # (E, 95) float32 — curve on the CIE grid, pre-scaled
     position: Any      # (E, 3) float32 — point lights
     # Area sampling: per-emitter face CDFs padded to a rectangle so that
     # row slices are static under jit (ragged layouts would need dynamic
@@ -177,8 +194,7 @@ class BVH:
 class CompiledScene:
     geometry: Geometry
     bvh: BVH
-    textures: TextureTable
-    bsdfs: BSDFTable
+    materials: MaterialTable
     emitters: EmitterTable
     media: MediumTable
     camera: Camera

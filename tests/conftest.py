@@ -10,6 +10,10 @@ import os
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (one tunneled
 # TPU chip); unit tests must not contend for it and need N virtual devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Persist XLA compiles across test runs (compiles are very slow on this box).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

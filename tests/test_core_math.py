@@ -8,7 +8,10 @@ import pytest
 
 from misaki_tpu.core import frame, fresnel, math as m, microfacet, rng, warp
 from misaki_tpu.core import spectrum as spec
-from misaki_tpu.core.srgb_upsample import fit_srgb_coeffs, srgb_model_eval
+from misaki_tpu.core.srgb_upsample import (
+    fit_srgb_coeffs,
+    srgb_model_eval_flat as srgb_model_eval,
+)
 
 
 # ---------------------------------------------------------------- PCG32
@@ -59,26 +62,39 @@ def test_pcg32_float_range():
 
 
 # ---------------------------------------------------------------- frames
+def _t3(a):
+    """(N, 3) numpy -> vec3 component tuple of jnp arrays."""
+    a = jnp.asarray(a, jnp.float32)
+    return (a[:, 0], a[:, 1], a[:, 2])
+
+
+def _n3(v):
+    """vec3 tuple -> (N, 3) numpy."""
+    return np.stack([np.asarray(c) for c in v], axis=-1)
+
+
 def test_coordinate_system_orthonormal():
+    from misaki_tpu.core import vec
+
     n = np.random.default_rng(0).normal(size=(256, 3))
     n /= np.linalg.norm(n, axis=-1, keepdims=True)
-    fr = frame.make_frame(jnp.asarray(n, jnp.float32))
+    fr = frame.make_frame(_t3(n))
     s, t = fr["s"], fr["t"]
-    assert np.allclose(m.dot(s, t), 0, atol=1e-5)
-    assert np.allclose(m.dot(s, fr["n"]), 0, atol=1e-5)
-    assert np.allclose(m.norm(s), 1, atol=1e-5)
-    assert np.allclose(np.asarray(jnp.cross(s, t)), n, atol=1e-4)
+    assert np.allclose(np.asarray(vec.dot(s, t)), 0, atol=1e-5)
+    assert np.allclose(np.asarray(vec.dot(s, fr["n"])), 0, atol=1e-5)
+    assert np.allclose(np.asarray(vec.norm(s)), 1, atol=1e-5)
+    assert np.allclose(_n3(vec.cross(s, t)), n, atol=1e-4)
 
 
 def test_frame_roundtrip():
     rs = np.random.default_rng(1)
     n = rs.normal(size=(64, 3))
     n /= np.linalg.norm(n, axis=-1, keepdims=True)
-    fr = frame.make_frame(jnp.asarray(n, jnp.float32))
+    fr = frame.make_frame(_t3(n))
     v = rs.normal(size=(64, 3)).astype(np.float32)
-    v_local = frame.to_local(fr, jnp.asarray(v))
+    v_local = frame.to_local(fr, _t3(v))
     v_back = frame.to_world(fr, v_local)
-    assert np.allclose(np.asarray(v_back), v, atol=1e-4)
+    assert np.allclose(_n3(v_back), v, atol=1e-4)
 
 
 # ---------------------------------------------------------------- warps
@@ -107,10 +123,15 @@ def _chi2_uniformity(samples_xyz, pdf_fn, n_theta=8, n_phi=16):
     return hist, expected
 
 
+def _t2(a):
+    a = jnp.asarray(a, jnp.float32)
+    return (a[:, 0], a[:, 1])
+
+
 def test_cosine_hemisphere_chi2():
     n = 200_000
     u = np.random.default_rng(2).uniform(size=(n, 2)).astype(np.float32)
-    v = np.asarray(warp.square_to_cosine_hemisphere(jnp.asarray(u)))
+    v = _n3(warp.square_to_cosine_hemisphere(_t2(u)))
     pdf = lambda d: max(d[2], 0.0) / np.pi
     hist, expected = _chi2_uniformity(v, pdf)
     assert np.abs(hist - expected).max() < 5e-3
@@ -119,7 +140,7 @@ def test_cosine_hemisphere_chi2():
 def test_uniform_sphere_chi2():
     n = 200_000
     u = np.random.default_rng(3).uniform(size=(n, 2)).astype(np.float32)
-    v = np.asarray(warp.square_to_uniform_sphere(jnp.asarray(u)))
+    v = _n3(warp.square_to_uniform_sphere(_t2(u)))
     assert np.allclose(np.linalg.norm(v, axis=-1), 1, atol=1e-4)
     hist, expected = _chi2_uniformity(v, lambda d: 1 / (4 * np.pi))
     assert np.abs(hist - expected).max() < 5e-3
@@ -127,7 +148,7 @@ def test_uniform_sphere_chi2():
 
 def test_uniform_triangle():
     u = np.random.default_rng(4).uniform(size=(100_000, 2)).astype(np.float32)
-    b = np.asarray(warp.square_to_uniform_triangle(jnp.asarray(u)))
+    b = np.stack([np.asarray(c) for c in warp.square_to_uniform_triangle(_t2(u))], -1)
     assert (b >= 0).all() and (b.sum(-1) <= 1 + 1e-6).all()
     # centroid of uniform barycentrics = (1/3, 1/3)
     assert np.allclose(b.mean(0), [1 / 3, 1 / 3], atol=5e-3)
@@ -158,24 +179,25 @@ def test_fresnel_energy_and_reciprocity():
 
 
 def test_fresnel_conductor_bounds():
-    eta = jnp.asarray([[0.2, 0.9, 1.1]])
-    k = jnp.asarray([[3.9, 2.4, 2.1]])
+    eta = jnp.full((4, 1), 0.9)
+    k = jnp.full((4, 1), 2.4)
     F = fresnel.fresnel_conductor(jnp.asarray([0.7]), eta, k)
     f = np.asarray(F)
     assert (f > 0).all() and (f <= 1).all()
 
 
 def test_reflect_refract():
-    wi = jnp.asarray([[0.3, 0.4, np.sqrt(1 - 0.25)]], dtype=jnp.float32)
+    wi = _t3(np.asarray([[0.3, 0.4, np.sqrt(1 - 0.25)]], dtype=np.float32))
     wo = fresnel.reflect(wi)
-    assert np.allclose(np.asarray(wo)[0], [-0.3, -0.4, np.sqrt(0.75)], atol=1e-6)
-    F, ctt, eta_it, eta_ti = fresnel.fresnel(wi[..., 2], 1.5)
+    assert np.allclose(_n3(wo)[0], [-0.3, -0.4, np.sqrt(0.75)], atol=1e-6)
+    F, ctt, eta_it, eta_ti = fresnel.fresnel(wi[2], 1.5)
     wt = fresnel.refract(wi, ctt, eta_ti)
     # Snell: sin_t = sin_i / eta
-    sin_i = np.linalg.norm(np.asarray(wi)[0, :2])
-    sin_t = np.linalg.norm(np.asarray(wt)[0, :2])
+    wtn = _n3(wt)[0]
+    sin_i = np.linalg.norm(_n3(wi)[0, :2])
+    sin_t = np.linalg.norm(wtn[:2])
     assert np.allclose(sin_t, sin_i / 1.5, atol=1e-5)
-    assert np.allclose(np.linalg.norm(np.asarray(wt)[0]), 1.0, atol=1e-5)
+    assert np.allclose(np.linalg.norm(wtn), 1.0, atol=1e-5)
 
 
 # ---------------------------------------------------------------- microfacet
@@ -188,7 +210,8 @@ def test_ggx_normalization():
     CT, PHI = np.meshgrid(ct, phi, indexing="ij")
     ST = np.sqrt(1 - CT**2)
     mvec = np.stack([ST * np.cos(PHI), ST * np.sin(PHI), CT], -1).astype(np.float32)
-    d = np.asarray(microfacet.eval_ggx(jnp.asarray(mvec), alpha, alpha))
+    mt = tuple(jnp.asarray(mvec[..., i]) for i in range(3))
+    d = np.asarray(microfacet.eval_ggx(mt, alpha, alpha))
     integral = (d * CT).sum() * (1.0 / n) * (2 * np.pi / n)
     assert abs(integral - 1.0) < 2e-2
 
@@ -197,7 +220,7 @@ def test_ggx_sample_pdf_consistency():
     """Sampled pdf equals the analytic pdf D(m) cos(m) (chi^2-style)."""
     alpha_u, alpha_v = 0.2, 0.5
     u = np.random.default_rng(5).uniform(size=(50_000, 2)).astype(np.float32)
-    mvec, pdf_s = microfacet.sample_ggx(jnp.asarray(u), alpha_u, alpha_v)
+    mvec, pdf_s = microfacet.sample_ggx(_t2(u), alpha_u, alpha_v)
     pdf_a = microfacet.pdf_ggx(mvec, alpha_u, alpha_v)
     ps, pa = np.asarray(pdf_s), np.asarray(pdf_a)
     ok = ps > 1e-6
@@ -205,8 +228,8 @@ def test_ggx_sample_pdf_consistency():
 
 
 def test_smith_g1_limits():
-    mvec = jnp.asarray([[0.0, 0.0, 1.0]])
-    v = jnp.asarray([[0.0, 0.0, 1.0]])
+    mvec = _t3(np.asarray([[0.0, 0.0, 1.0]]))
+    v = _t3(np.asarray([[0.0, 0.0, 1.0]]))
     g = microfacet.smith_g1(v, mvec, 0.3, 0.3)
     assert np.allclose(g, 1.0, atol=1e-6)  # normal incidence: no shadowing
 
@@ -214,11 +237,11 @@ def test_smith_g1_limits():
 # ---------------------------------------------------------------- spectra
 def test_sample_shifted():
     s = spec.sample_shifted(jnp.asarray([0.9]))
-    assert np.allclose(np.asarray(s)[0], [0.9, 0.15, 0.4, 0.65], atol=1e-6)
+    assert np.allclose(np.asarray(s)[:, 0], [0.9, 0.15, 0.4, 0.65], atol=1e-6)
 
 
 def test_sample_rgb_spectrum_range_and_pdf():
-    u = jnp.asarray(np.random.default_rng(6).uniform(size=(10_000, 4)).astype(np.float32))
+    u = jnp.asarray(np.random.default_rng(6).uniform(size=(4, 10_000)).astype(np.float32))
     lam, w = spec.sample_rgb_spectrum(u)
     l = np.asarray(lam)
     assert (l >= 360).all() and (l <= 830).all()
@@ -236,16 +259,20 @@ def test_rgb_spectrum_integrates_to_one():
 
 
 def test_cie_lerp_matches_table():
-    lam = jnp.asarray([360.0, 830.0, 555.0])
+    lam = jnp.asarray([360.0, 830.0, 555.0]).reshape(3, 1)
     X, Y, Z = spec.cie1931_xyz(lam)
     # Y peaks near 555nm at ~1.0
-    assert 0.99 < float(Y[2]) <= 1.01
-    assert float(Y[0]) < 1e-4
+    assert 0.99 < float(Y[2, 0]) <= 1.01
+    assert float(Y[0, 0]) < 1e-4
 
 
 def test_xyz_srgb_roundtrip():
-    rgb = jnp.asarray(np.random.default_rng(7).uniform(size=(32, 3)).astype(np.float32))
-    back = spec.xyz_to_srgb(spec.srgb_to_xyz(rgb))
+    rgb0 = np.random.default_rng(7).uniform(size=(32, 3)).astype(np.float32)
+    rgb = (jnp.asarray(rgb0[:, 0]), jnp.asarray(rgb0[:, 1]), jnp.asarray(rgb0[:, 2]))
+    back = np.stack(
+        [np.asarray(c) for c in spec.xyz_to_srgb(spec.srgb_to_xyz(rgb))], -1
+    )
+    rgb = rgb0
     # The reference's two matrices (spectrum.h:131-143) are independently
     # truncated published values, not exact inverses — roundtrip is ~1e-2.
     assert np.allclose(np.asarray(back), np.asarray(rgb), atol=2e-2)

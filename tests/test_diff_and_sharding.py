@@ -16,45 +16,35 @@ from misaki_tpu.scene.loader import load_string
 CBOX = "/root/reference/assets/cbox/scene.xml"
 
 
-def _render_rgb_with_coeff(scene, coeff, seed=0, depth_cap=3):
-    tex = scene.textures
-    scene2 = scene.replace(
-        textures=type(tex)(
-            kind=tex.kind,
-            coeff=coeff,
-            scale=tex.scale,
-            child=tex.child,
-            uv_transform=tex.uv_transform,
-            reg_values=tex.reg_values,
-            rgb=tex.rgb,
-        )
-    )
+def _render_rgb_with_params(scene, mat_params, seed=0, depth_cap=2):
+    scene2 = scene.replace(materials=type(scene.materials)(params=mat_params))
     out = render(scene2, seed=seed, chunk_size=1 << 14, depth_cap=depth_cap)
     return out["rgb"]
 
 
 @pytest.fixture(scope="module")
 def cbox_tiny():
-    return load_and_compile(CBOX, spp=8, width=24, height=16)
+    return load_and_compile(CBOX, spp=8, width=16, height=12)
 
 
 def test_reflectance_gradient_finite_difference(cbox_tiny):
-    """d(mean image) / d(texture sigmoid coeff) vs. central differences.
+    """d(mean image) / d(material sigmoid coeffs) vs. central differences.
 
     Detached sampling makes the estimator's gradient exactly the gradient of
     the estimate for a FIXED random stream, so FD on the same seed must agree
     tightly (not just statistically)."""
     scene = cbox_tiny
-    coeff0 = jnp.asarray(scene.textures.coeff)
+    coeff0 = jnp.asarray(scene.materials.params)
 
     def f(c):
-        return jnp.mean(_render_rgb_with_coeff(scene, c))
+        return jnp.mean(_render_rgb_with_params(scene, c))
 
-    g = jax.grad(f)(coeff0)
+    g = jax.jit(jax.grad(f))(coeff0)
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
 
+    f = jax.jit(f)
     # FD check on the two entries with the largest gradient magnitude
     flat = np.abs(g).reshape(-1)
     order = np.argsort(flat)[::-1][:2]
@@ -72,28 +62,21 @@ def test_reflectance_gradient_finite_difference(cbox_tiny):
 
 
 def test_emitter_gradient_flows(cbox_tiny):
-    """Gradients w.r.t. emitter radiance (reg_values rows) must be nonzero
-    and positive for a brightness loss."""
+    """Gradients w.r.t. emitter radiance curves must be nonzero and positive
+    for a brightness loss."""
+    from dataclasses import replace as dc_replace
+
     scene = cbox_tiny
-    reg0 = jnp.asarray(scene.textures.reg_values)
+    reg0 = jnp.asarray(scene.emitters.rad_curve)
 
     def f(reg):
-        tex = scene.textures
         scene2 = scene.replace(
-            textures=type(tex)(
-                kind=tex.kind,
-                coeff=tex.coeff,
-                scale=tex.scale,
-                child=tex.child,
-                uv_transform=tex.uv_transform,
-                reg_values=reg,
-                rgb=tex.rgb,
-            )
+            emitters=dc_replace(scene.emitters, rad_curve=reg)
         )
-        out = render(scene2, seed=0, chunk_size=1 << 13, depth_cap=3)
+        out = render(scene2, seed=0, chunk_size=1 << 13, depth_cap=2)
         return jnp.mean(out["rgb"])
 
-    g = np.asarray(jax.grad(f)(reg0))
+    g = np.asarray(jax.jit(jax.grad(f))(reg0))
     assert np.isfinite(g).all()
     # The cbox area light's d65 row must carry positive gradient
     assert g.max() > 0
