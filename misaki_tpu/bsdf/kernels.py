@@ -376,12 +376,23 @@ def sample_bsdf(p, wi, u1, u2):
         "eta": jnp.ones_like(pdf_d),
         "valid": valid_d,
     }
+    # null: delta pass-through (BSDFFlags::Null) — straight transmission,
+    # weight 1, used for medium boundaries / the mask BSDF's clear component.
+    ones = jnp.ones_like(frame.cos_theta(wi_f))
+    res_null = {
+        "wo": vec.neg(wi_f),
+        "pdf": ones,
+        "weight": jnp.ones_like(p["reflectance"]),
+        "eta": ones,
+        "valid": jnp.ones_like(ones, dtype=bool),
+    }
     cases = (
         (BSDF_DIFFUSE, res_d),
         (BSDF_ROUGH_CONDUCTOR, _sample_roughconductor(p, wi_f, u2)),
         (BSDF_ROUGH_DIELECTRIC, _sample_roughdielectric(p, wi_f, u1, u2)),
         (BSDF_DIELECTRIC, _sample_dielectric(p, wi_f, u1)),
         (BSDF_CONDUCTOR, _sample_conductor(p, wi_f)),
+        (BSDF_NULL, res_null),
     )
 
     def sel_scalar(field, default=0.0):
@@ -411,7 +422,12 @@ def sample_bsdf(p, wi, u1, u2):
         "pdf": sel_scalar("pdf"),
         "weight": sel_spec("weight"),
         "eta": sel_scalar("eta", default=1.0),
-        "delta": (kind == BSDF_DIELECTRIC) | (kind == BSDF_CONDUCTOR),
-        "valid": valid & (kind != BSDF_NULL),
+        "delta": (
+            (kind == BSDF_DIELECTRIC)
+            | (kind == BSDF_CONDUCTOR)
+            | (kind == BSDF_NULL)
+        ),
+        "null": kind == BSDF_NULL,
+        "valid": valid,
     }
     return out

@@ -22,15 +22,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from misaki_tpu.render import film as film_mod
 from misaki_tpu.render.driver import _render_chunk
 
 
 def make_mesh(n_devices, axis_name="wavefront"):
-    devices = np.asarray(jax.devices()[:n_devices])
-    return Mesh(devices, (axis_name,))
+    """1D mesh over the first n devices. Falls back to the (virtual) CPU
+    backend when the default platform has too few devices — this box exposes
+    exactly one tunneled TPU chip, and the ambient axon plugin prepends
+    itself to jax_platforms, so `--xla_force_host_platform_device_count=N`
+    meshes live on the "cpu" backend even when a TPU is visible."""
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        devices = jax.devices("cpu")
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}"
+    )
+    return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
 
 
 def render_sharded(mesh, scene, seed=0, depth_cap=8, axis_name="wavefront"):
@@ -47,6 +57,11 @@ def render_sharded(mesh, scene, seed=0, depth_cap=8, axis_name="wavefront"):
         mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=P(),
+        # The integrator's fori_loop carries start as replicated constants
+        # (throughput = ones) and become device-varying after one bounce;
+        # the vma type check rejects that even though the program is correct
+        # (every lane's carry is derived from its own sharded rays). Skip it.
+        check_vma=False,
     )
     def shard_fn(scene, lane0_block):
         film_flat = film_mod.new_film_flat(

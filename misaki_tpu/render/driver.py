@@ -62,7 +62,10 @@ def _render_chunk(scene, film_flat, lane0, n_total, seed, chunk, depth_cap):
         rgb, state = integ.sample_debug(scene, ray, state)
         xyz = spec.srgb_to_xyz(rgb)
     else:
-        L_spec, state = integ.sample_path(scene, ray, state, depth_cap)
+        if scene.integrator == "volpath":
+            L_spec, state = integ.sample_volpath(scene, ray, state, depth_cap)
+        else:
+            L_spec, state = integ.sample_path(scene, ray, state, depth_cap)
         L_spec = L_spec * ray["wav_weight"]
         xyz = spec.spectrum_to_xyz(L_spec, ray["wavelengths"])
 

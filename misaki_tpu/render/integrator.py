@@ -175,6 +175,257 @@ def sample_path(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
     return result, rng_state
 
 
+def _attenuated_transmittance(
+    scene, ref_p, d, dist, medium_ids, wavelengths, segments=4
+):
+    """Scene::eval_transmittance (scene.cpp:143-184) as a fixed-segment
+    wavefront march: walk the shadow ray; a hit on a non-Null BSDF blocks it;
+    Null hits pass through (transmission 1) with a medium-consistency check
+    and transition; each traveled segment accumulates the current medium's
+    analytic transmittance.
+
+    `segments` bounds the march statically (the reference loops unboundedly;
+    live scenes never chain more than a couple of null boundaries — lanes
+    still alive after the last segment keep their accumulated estimate).
+
+    Returns (tr (4, L), medium-aware transmittance; 0 where occluded).
+    """
+    from misaki_tpu.core.table import fetch as tfetch
+    from misaki_tpu.render import medium as med
+    from misaki_tpu.scene.types import BSDF_NULL, MC_KIND
+
+    L = dist.shape[0]
+    tr = jnp.ones((4, L))
+    remaining = dist
+    o = ref_p
+    medium = medium_ids
+    alive = dist > 0.0
+
+    for _ in range(segments):
+        mint = m.RayEpsilon * (1.0 + vec.max_abs(o))
+        maxt = remaining * (1.0 - m.ShadowEpsilon)
+        hit = traverse.intersect(
+            scene, o, d,
+            jnp.where(alive, mint, 0.0),
+            jnp.where(alive, maxt, -1.0),
+        )
+        si = inter.compute_interaction(scene, hit, o, d, wavelengths)
+        kind = tfetch(
+            scene.materials.params[MC_KIND : MC_KIND + 1], si["bsdf"]
+        )[0].astype(jnp.int32)
+        is_null = kind == BSDF_NULL
+        blocked = alive & si["valid"] & ~is_null
+        tr = jnp.where(blocked[None, :], 0.0, tr)
+
+        # medium transmittance over the traveled segment (scene.cpp:160-166)
+        seg = jnp.minimum(si["t"], remaining)
+        mp = med.fetch_medium(scene, medium, wavelengths)
+        tr = jnp.where(
+            (alive & (medium >= 0))[None, :],
+            tr * med.eval_transmittance(mp, seg),
+            tr,
+        )
+
+        done = alive & (~si["valid"] | blocked)
+        step = alive & si["valid"] & is_null
+        # medium consistency + transition at a null boundary
+        # (scene.cpp:172-176): the medium we marched through must be the one
+        # on OUR side of the boundary, else the path is inconsistent -> 0.
+        expected = inter.target_medium(si, vec.neg(d), medium)
+        tr = jnp.where((step & (expected != medium))[None, :], 0.0, tr)
+        medium = jnp.where(step, inter.target_medium(si, d, medium), medium)
+        o = vec.where(step, si["p"], o)
+        remaining = jnp.where(step, remaining - si["t"], remaining)
+        alive = step & (remaining > mint) & (jnp.max(tr, axis=0) > 0.0)
+        _ = done  # lanes park with their final tr
+
+    return tr
+
+
+def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
+    """Volumetric path tracer (integrators/volpath.cpp:21-184), wavefront.
+
+    Reference semantics mirrored deliberately:
+      * one distance-sampling channel per path, drawn before the loop
+        (volpath.cpp:39) — ours indexes the 4 hero wavelengths instead of
+        3 RGB channels (the pipeline is spectral);
+      * NEE WITHOUT MIS: volpath.cpp:102-112 computes `weight` but does not
+        apply it (`result += throughput * emitter_val * bsdf_val`);
+      * emitted radiance is gated by the `emitted_radiance` /  `null_chain`
+        delta-chain bookkeeping (volpath.cpp:121-141), not by MIS;
+      * medium transitions happen at surfaces whose shape declares
+        interior/exterior media (volpath.cpp:147-148).
+    """
+    L = ray["o"][0].shape[0]
+    wavelengths = ray["wavelengths"]
+
+    from misaki_tpu.render import medium as med
+
+    # channel pick (volpath.cpp:39) — 4 hero wavelengths
+    u_ch, rng_state = rng.next_float32(rng_state)
+    channel = jnp.minimum((u_ch * 4.0).astype(jnp.int32), 3)
+
+    hit = traverse.intersect(scene, ray["o"], ray["d"], ray["mint"], ray["maxt"])
+    si = inter.compute_interaction(scene, hit, ray["o"], ray["d"], wavelengths)
+
+    throughput = jnp.ones((4, L))
+    result = jnp.zeros((4, L))
+    eta = jnp.ones((L,))
+    medium = jnp.full((L,), -1, jnp.int32)  # camera starts in vacuum
+    scattered = jnp.zeros((L,), bool)
+    null_chain = jnp.ones((L,), bool)
+    emitted_radiance = jnp.ones((L,), bool)
+    ray_o, ray_d = ray["o"], ray["d"]
+    active = jnp.ones((L,), bool)
+
+    max_depth = scene.max_depth
+    n_iters = max_depth if max_depth > 0 else depth_cap
+
+    def iteration(idx, carry):
+        depth = idx + 1
+        (active, throughput, eta, result, si, ray_o, ray_d, medium,
+         scattered, null_chain, emitted_radiance, rng_state) = carry
+
+        # ---- draws (unconditional, fixed order) ----
+        u_dist, rng_state = rng.next_float32(rng_state)
+        u_nee, rng_state = rng.next_2d(rng_state)
+        u_phase, rng_state = rng.next_2d(rng_state)
+        u_bsdf1, rng_state = rng.next_float32(rng_state)
+        u_bsdf2, rng_state = rng.next_2d(rng_state)
+        u_rr, rng_state = rng.next_float32(rng_state)
+
+        in_medium = medium >= 0
+        mp = med.fetch_medium(scene, medium, wavelengths)
+        ms = med.sample_distance(mp, channel, u_dist, si["t"])
+        medium_scatter = active & in_medium & ms["scatter"]
+        surface = active & ~medium_scatter
+
+        # ================= medium-interaction branch (volpath.cpp:44-74) ===
+        tp_med = throughput * mp["sigma_s"] * ms["tr"] / jnp.maximum(
+            ms["pdf"], 1e-30
+        )[None, :]
+        ms_p = vec.add(ray_o, vec.scale(ray_d, ms["t"]))
+        # ONE attenuated NEE shared by both branches: the reference samples
+        # from ms.p (medium) or si.p (surface) — per-lane origin select keeps
+        # a single emitter sample + transmittance march per bounce.
+        ref_p = vec.where(medium_scatter, ms_p, si["p"])
+        ds = emitter.sample_emitter_direct(scene, ref_p, wavelengths, u_nee)
+        tr_n = _attenuated_transmittance(
+            scene, ref_p, ds["d"], ds["dist"], medium, wavelengths
+        )
+        # medium branch: phase eval as the "bsdf" (volpath.cpp:50-54)
+        ph_val = med.phase_eval(ray_d, ds["d"], mp["g"])
+        contrib_m = tp_med * ds["spec"] * tr_n * ph_val[None, :]
+        take_m = medium_scatter & (ds["pdf"] > 0.0)
+        result = result + jnp.where(take_m[None, :], contrib_m, 0.0)
+        # stop before phase sampling if the NEXT depth would exceed max_depth
+        # (volpath.cpp:56-57)
+        med_continue = medium_scatter
+        if max_depth > 0:
+            med_continue = med_continue & (depth + 1 < max_depth)
+        wo_phase, _ph_pdf, ph_w = med.phase_sample(ray_d, mp["g"], u_phase)
+        # throughput *= phase weight (1 for perfect importance sampling)
+        tp_after_med = tp_med * ph_w[None, :]
+
+        # ================= surface branch (volpath.cpp:75-155) =============
+        # escape transmittance weight for lanes in a medium that reached the
+        # surface (volpath.cpp:76-78)
+        esc = ms["tr"] / jnp.maximum(ms["pdf"], 1e-30)[None, :]
+        tp_surf = jnp.where(in_medium[None, :], throughput * esc, throughput)
+
+        show_emit = emitted_radiance & (~scene.hide_emitters | scattered)
+        # environment on miss (volpath.cpp:80-91); a lane inside a medium
+        # that misses has infinite optical depth -> tr == 0 already via esc
+        if scene.has_environment:
+            env = emitter.eval_environment(scene, wavelengths)
+            take_env = surface & ~si["valid"] & show_emit
+            result = result + jnp.where(take_env[None, :], tp_surf * env, 0.0)
+        # area-emitter hit (volpath.cpp:93-97)
+        em_val = emitter.eval_emitter(
+            scene, si["emitter"], si["wi"], si["uv"], wavelengths
+        )
+        take_em = surface & si["valid"] & (si["emitter"] >= 0) & show_emit
+        result = result + jnp.where(take_em[None, :], tp_surf * em_val, 0.0)
+
+        # NEE from Smooth BSDFs, attenuated, NO MIS (volpath.cpp:99-112)
+        p = bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths)
+        wo_nee = frame.to_local(si["sh"], ds["d"])
+        f_nee = bsdf.eval_bsdf(p, si["wi"], wo_nee)
+        take_nee = surface & si["valid"] & p["smooth"] & (ds["pdf"] > 0.0)
+        contrib_s = tp_surf * ds["spec"] * tr_n * f_nee
+        result = result + jnp.where(take_nee[None, :], contrib_s, 0.0)
+
+        # BSDF sampling (volpath.cpp:114-155)
+        bs = bsdf.sample_bsdf(p, si["wi"], u_bsdf1, u_bsdf2)
+        wo_world = frame.to_world(si["sh"], bs["wo"])
+        # recursion bookkeeping (volpath.cpp:121-141); max_depth is static,
+        # depth is the traced loop counter
+        if max_depth < 0:
+            recursive = jnp.ones((L,), bool)
+            depth_ok = jnp.ones((L,), bool)
+        else:
+            recursive = jnp.broadcast_to(depth + 1 < max_depth, (L,))
+            depth_ok = jnp.broadcast_to(depth < max_depth, (L,))
+        gather_direct = depth_ok & bs["delta"] & (~bs["null"] | null_chain)
+        new_emitted = gather_direct
+        recursive = recursive | gather_direct
+        new_null_chain = jnp.where(
+            gather_direct, True, null_chain & bs["null"]
+        )
+        surf_continue = surface & si["valid"] & bs["valid"] & recursive
+
+        tp_after_surf = tp_surf * bs["weight"]
+        new_eta = jnp.where(surf_continue, eta * bs["eta"], eta)
+        new_medium_surf = inter.target_medium(si, wo_world, medium)
+        new_scattered = scattered | (surface & ~bs["null"])
+
+        # ================= merge branches + next intersection ==============
+        next_o = vec.where(medium_scatter, ms_p, si["p"])
+        next_d = vec.where(medium_scatter, wo_phase, wo_world)
+        throughput = jnp.where(
+            medium_scatter[None, :], tp_after_med, tp_after_surf
+        )
+        medium = jnp.where(medium_scatter, medium, new_medium_surf)
+        eta = jnp.where(medium_scatter, eta, new_eta)
+        scattered = jnp.where(medium_scatter, True, new_scattered)
+        null_chain = jnp.where(medium_scatter, False, new_null_chain)
+        emitted_radiance = jnp.where(medium_scatter, False, new_emitted)
+        active = (surface & surf_continue) | (medium_scatter & med_continue)
+        active = active & (jnp.max(throughput, axis=0) > 0.0)
+
+        mint = inter.spawn_ray_mint(next_o)
+        next_hit = traverse.intersect(
+            scene, next_o, next_d,
+            jnp.where(active, mint, 0.0),
+            jnp.where(active, jnp.inf, -1.0),
+        )
+        si_next = inter.compute_interaction(
+            scene, next_hit, next_o, next_d, wavelengths
+        )
+
+        # ---- Russian roulette (volpath.cpp:158-164) ----
+        do_rr = depth + 1 >= scene.rr_depth
+        q = jax.lax.stop_gradient(
+            jnp.minimum(jnp.max(throughput, axis=0) * eta * eta, 0.95)
+        )
+        kill = do_rr & (u_rr >= q)
+        active = active & ~kill
+        throughput = jnp.where(
+            (do_rr & active)[None, :],
+            throughput / jnp.maximum(q, 1e-8)[None, :],
+            throughput,
+        )
+
+        return (active, throughput, eta, result, si_next, next_o, next_d,
+                medium, scattered, null_chain, emitted_radiance, rng_state)
+
+    carry = (active, throughput, eta, result, si, ray_o, ray_d, medium,
+             scattered, null_chain, emitted_radiance, rng_state)
+    carry = jax.lax.fori_loop(0, n_iters, iteration, carry)
+    result, rng_state = carry[3], carry[11]
+    return result, rng_state
+
+
 AOV_NAMES = ("depth", "position", "uv", "geo_normal", "sh_normal")
 
 

@@ -17,6 +17,8 @@ from misaki_tpu.scene.types import (
     FC_EMITTER,
     FC_HAS_N,
     FC_HAS_UV,
+    FC_MED_EXT,
+    FC_MED_INT,
     FC_N0,
     FC_NG,
     FC_P0,
@@ -93,7 +95,19 @@ def compute_interaction(scene, hit, o, d, wavelengths, fd=None):
         "prim": hit["prim"],
         "bsdf": jnp.where(valid, fd[FC_BSDF].astype(jnp.int32), 0),
         "emitter": jnp.where(valid, fd[FC_EMITTER].astype(jnp.int32) - 1, -1),
+        # medium transition data (interaction.cpp:11-21): -1 = none
+        "med_int": jnp.where(valid, fd[FC_MED_INT].astype(jnp.int32) - 1, -1),
+        "med_ext": jnp.where(valid, fd[FC_MED_EXT].astype(jnp.int32) - 1, -1),
     }
+
+
+def target_medium(si, d, current):
+    """SceneInteraction::target_medium (interaction.cpp:11-13): the medium on
+    the side of the surface that direction `d` points into — exterior when
+    d.n > 0, interior otherwise. Lanes without a transition keep `current`."""
+    transition = (si["med_int"] >= 0) | (si["med_ext"] >= 0)
+    tgt = jnp.where(vec.dot(d, si["ng"]) > 0.0, si["med_ext"], si["med_int"])
+    return jnp.where(si["valid"] & transition, tgt, current)
 
 
 def spawn_ray_mint(p):

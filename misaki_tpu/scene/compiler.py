@@ -51,6 +51,8 @@ from misaki_tpu.scene.types import (
     FC_EMITTER,
     FC_HAS_N,
     FC_HAS_UV,
+    FC_MED_EXT,
+    FC_MED_INT,
     FC_N0,
     FC_NG,
     FC_P0,
@@ -426,13 +428,21 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
 
         sigma_s = _rgb_of("sigma_s", (0.0, 0.0, 0.0))
         sigma_a = _rgb_of("sigma_a", (0.0, 0.0, 0.0))
+        # The sigmoid spectrum model spans [0,1]; extinction coefficients can
+        # exceed 1, so fit the normalized color and carry the amplitude
+        # separately (media/homogeneous.cpp keeps raw RGB sigma; we upsample
+        # spectrally like every other color in the pipeline).
+        s_amp = max(1.0, float(np.max(sigma_s)))
+        a_amp = max(1.0, float(np.max(sigma_a)))
         media_rows.append(
             {
                 "kind": MED_HOMOGENEOUS,
                 "sigma_s": sigma_s,
                 "sigma_a": sigma_a,
-                "sigma_s_coeff": fit_srgb_coeffs(np.clip(sigma_s, 0, 1)),
-                "sigma_a_coeff": fit_srgb_coeffs(np.clip(sigma_a, 0, 1)),
+                "sigma_s_coeff": fit_srgb_coeffs(sigma_s / s_amp),
+                "sigma_a_coeff": fit_srgb_coeffs(sigma_a / a_amp),
+                "sigma_s_amp": s_amp,
+                "sigma_a_amp": a_amp,
                 "scale": float(obj["props"].get("scale", 1.0)),
                 "g": float(obj["props"].get("g", 0.0)),
             }
@@ -540,6 +550,10 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
     face_tab[FC_E1 : FC_E1 + 3, :F] = e1.T
     face_tab[FC_E2 : FC_E2 + 3, :F] = e2.T
     face_tab[FC_P0 : FC_P0 + 3, :F] = p0.T
+    shape_interior = np.asarray([r["interior"] for r in shape_rows], np.int32)
+    shape_exterior = np.asarray([r["exterior"] for r in shape_rows], np.int32)
+    face_tab[FC_MED_INT, :F] = shape_interior[shape_idx] + 1  # 0 = none
+    face_tab[FC_MED_EXT, :F] = shape_exterior[shape_idx] + 1
 
     geom = Geometry(
         p0=comp_rows(p0), e1=comp_rows(e1), e2=comp_rows(e2), face_tab=face_tab
@@ -631,6 +645,14 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         sigma_a_coeff=(
             np.stack([r["sigma_a_coeff"] for r in media_rows]).astype(np.float32)
             if media_rows else np.zeros((0, 3), np.float32)
+        ),
+        sigma_s_amp=(
+            np.asarray([r["sigma_s_amp"] for r in media_rows], np.float32)
+            if media_rows else np.zeros(0, np.float32)
+        ),
+        sigma_a_amp=(
+            np.asarray([r["sigma_a_amp"] for r in media_rows], np.float32)
+            if media_rows else np.zeros(0, np.float32)
         ),
         scale=(
             np.asarray([r["scale"] for r in media_rows], np.float32)

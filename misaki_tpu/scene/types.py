@@ -84,7 +84,9 @@ FC_HAS_UV = 24     # 0/1
 FC_E1 = 25         # 25-27 edge1 (for hit-position reconstruction paths)
 FC_E2 = 28         # 28-30 edge2
 FC_P0 = 31         # 31-33 first vertex
-N_FACE_COLS = 34
+FC_MED_INT = 34    # interior medium id + 1 (0 = none) — target_medium
+FC_MED_EXT = 35    # exterior medium id + 1 (0 = none)   (interaction.cpp:11-21)
+N_FACE_COLS = 36
 
 
 # ---- packed material-table column indices (MaterialTable.params rows) ----
@@ -162,10 +164,12 @@ class MediumTable:
     """Homogeneous media parameters (media/homogeneous.cpp)."""
 
     kind: Any      # (M,) int32
-    sigma_s: Any   # (M, 3) float32 (rgb -> upsampled at eval via sigmoid? kept rgb)
+    sigma_s: Any   # (M, 3) float32 — raw RGB (kept for reference/debug)
     sigma_a: Any   # (M, 3)
-    sigma_s_coeff: Any  # (M, 3) sigmoid coeffs for spectral sigma_s
+    sigma_s_coeff: Any  # (M, 3) sigmoid coeffs of sigma_s / sigma_s_amp
     sigma_a_coeff: Any  # (M, 3)
+    sigma_s_amp: Any    # (M,) float32 — amplitude (sigmoid spans [0,1])
+    sigma_a_amp: Any    # (M,)
     scale: Any     # (M,) float32
     g: Any         # (M,) float32 — HG phase anisotropy (0 = isotropic)
 
