@@ -15,6 +15,7 @@ from misaki_tpu.core.cie_data import CIE_MAX, CIE_MIN
 from misaki_tpu.scene.types import (
     EM_AREA,
     EM_CONSTANT,
+    EM_ENVMAP,
     EM_POINT,
     FC_E1,
     FC_E2,
@@ -55,10 +56,152 @@ def eval_emitter(scene, emitter_ids, wi_local, uv, wavelengths):
     return out
 
 
-def eval_environment(scene, wavelengths):
-    """Constant env radiance (constant.cpp eval) — direction-independent."""
+# ---------------------------------------------------------------------------
+# environment map (stale-set parity: emitters/envmap.cpp — lat-long HDR with
+# 2D luminance-CDF importance sampling + sin-theta correction, redesigned
+# gather-free: texel fetches are one-hot MXU matmuls (core/table.py), CDF
+# inversion is compare-count reductions — no per-lane gathers anywhere).
+# ---------------------------------------------------------------------------
+
+
+def _env_dir_to_uv(scene, d):
+    """World direction -> lat-long (u, v) in the emitter's local frame.
+
+    Convention (y-up): u = 0.5 + atan2(x, -z) / 2pi (wrapped), v = acos(y)/pi
+    — the standard Mitsuba lat-long parameterization. Returns (u, v, sin_t).
+    """
+    R = scene.emitters.env_to_local
+    x = R[0, 0] * d[0] + R[0, 1] * d[1] + R[0, 2] * d[2]
+    y = R[1, 0] * d[0] + R[1, 1] * d[1] + R[1, 2] * d[2]
+    z = R[2, 0] * d[0] + R[2, 1] * d[1] + R[2, 2] * d[2]
+    u = 0.5 + jnp.arctan2(x, -z) * m.InvTwoPi
+    u = u - jnp.floor(u)
+    y = jnp.clip(y, -1.0, 1.0)
+    v = jnp.arccos(y) * m.InvPi
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+    return u, v, sin_t
+
+
+def _env_uv_to_dir(scene, u, v):
+    """Inverse of _env_dir_to_uv: (u, v) -> world direction + sin(theta)."""
+    theta = v * m.Pi
+    phi = (u - 0.5) * m.TwoPi
+    st = jnp.sin(theta)
+    local = (st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi))
+    R = scene.emitters.env_to_world
+    d = (
+        R[0, 0] * local[0] + R[0, 1] * local[1] + R[0, 2] * local[2],
+        R[1, 0] * local[0] + R[1, 1] * local[1] + R[1, 2] * local[2],
+        R[2, 0] * local[0] + R[2, 1] * local[1] + R[2, 2] * local[2],
+    )
+    return d, st
+
+
+def _env_bilinear_rgb(scene, u, v):
+    """Bilinear texel fetch from the (He, We, 3) map at texel centers.
+
+    Four one-hot fetches on the flat (3, He*We) table (gather-free); u wraps,
+    v clamps. Returns (r, g, b) tuples of (L,). Differentiable in env_rgb."""
+    env = scene.emitters.env_rgb
+    He, We = env.shape[0], env.shape[1]
+    tex = jnp.moveaxis(env, -1, 0).reshape(3, He * We)
+    fu = u * We - 0.5
+    fv = v * He - 0.5
+    j0 = jnp.floor(fu)
+    i0 = jnp.floor(fv)
+    tu = fu - j0
+    tv = fv - i0
+    j0i = jnp.mod(j0.astype(jnp.int32), We)
+    j1i = jnp.mod(j0.astype(jnp.int32) + 1, We)
+    i0i = jnp.clip(i0.astype(jnp.int32), 0, He - 1)
+    i1i = jnp.clip(i0.astype(jnp.int32) + 1, 0, He - 1)
+    acc = None
+    for (ii, jj, w) in (
+        (i0i, j0i, (1.0 - tu) * (1.0 - tv)),
+        (i0i, j1i, tu * (1.0 - tv)),
+        (i1i, j0i, (1.0 - tu) * tv),
+        (i1i, j1i, tu * tv),
+    ):
+        t4 = table.fetch(tex, ii * We + jj) * w[None, :]
+        acc = t4 if acc is None else acc + t4
+    return (acc[0], acc[1], acc[2])
+
+
+def _env_radiance_spec(scene, d, wavelengths):
+    """Envmap radiance along world direction d -> (4, L) spectrum.
+
+    RGB texels are lifted to hero wavelengths with the piecewise-linear
+    channel-anchor model (bsdf.kernels.rgb_to_spectral) — the documented
+    spectral semantics for RGB-valued data in this framework (the stale
+    reference envmap was plain Color3 radiance)."""
+    from misaki_tpu.bsdf.kernels import rgb_to_spectral
+
+    u, v, _ = _env_dir_to_uv(scene, d)
+    rgb = _env_bilinear_rgb(scene, u, v)
+    return jnp.maximum(rgb_to_spectral(rgb, wavelengths), 0.0)
+
+
+def _env_pdf_sa(scene, u, v, sin_t):
+    """Solid-angle pdf of the 2D texel-CDF sampler at (u, v):
+    p(omega) = pmf[i, j] * He * We / (2 pi^2 sin(theta))."""
+    pmf = scene.emitters.env_pmf
+    He, We = pmf.shape
+    i = jnp.clip((v * He).astype(jnp.int32), 0, He - 1)
+    j = jnp.clip((u * We).astype(jnp.int32), 0, We - 1)
+    p = table.fetch(pmf.reshape(1, He * We), i * We + j)[0]
+    denom = 2.0 * m.Pi * m.Pi * jnp.maximum(sin_t, 1e-6)
+    return p * (He * We) / denom
+
+
+def _sample_envmap_emitter(scene, ei, ref_p, wavelengths, u2):
+    """2D CDF importance sampling of the lat-long map: row from the marginal
+    CDF, column from the row's conditional CDF, sub-texel position by sample
+    reuse; pdf converted to solid angle with the sin-theta Jacobian."""
+    em = scene.emitters
+    He, We = em.env_pmf.shape
+    ux, uy = u2
+    L = ux.shape[0]
+
+    # --- row: compare-count against the (He,) marginal CDF ---
+    marg = em.env_marg_cdf
+    below = uy[None, :] > marg[:, None]                     # (He, L)
+    r = jnp.clip(jnp.sum(below.astype(jnp.int32), 0), 0, He - 1)
+    mlo = jnp.max(jnp.where(below, marg[:, None], 0.0), axis=0)
+    mhi = jnp.min(jnp.where(below, 1.0, marg[:, None]), axis=0)
+    dv = jnp.clip((uy - mlo) / jnp.maximum(mhi - mlo, 1e-20), 0.0, 1.0 - 1e-6)
+
+    # --- column: fetch the row CDF (one-hot matmul), compare-count ---
+    rows = table.fetch(em.env_cond_cdf.T, r)                # (We, L)
+    belowc = ux[None, :] > rows
+    c = jnp.clip(jnp.sum(belowc.astype(jnp.int32), 0), 0, We - 1)
+    clo = jnp.max(jnp.where(belowc, rows, 0.0), axis=0)
+    chi = jnp.min(jnp.where(belowc, 1.0, rows), axis=0)
+    du = jnp.clip((ux - clo) / jnp.maximum(chi - clo, 1e-20), 0.0, 1.0 - 1e-6)
+
+    u = (c.astype(jnp.float32) + du) / We
+    v = (r.astype(jnp.float32) + dv) / He
+    d, sin_t = _env_uv_to_dir(scene, u, v)
+    pdf = _env_pdf_sa(scene, u, v, sin_t)
+    pdf = jnp.where(sin_t > 1e-6, pdf, 0.0)
+
+    from misaki_tpu.bsdf.kernels import rgb_to_spectral
+
+    rgb = _env_bilinear_rgb(scene, u, v)
+    rad = jnp.maximum(rgb_to_spectral(rgb, wavelengths), 0.0)
+    spec = jnp.where(
+        (pdf > 0.0)[None, :], rad / jnp.maximum(pdf, 1e-20)[None, :], 0.0
+    )
+    dist = jnp.full((L,), 2.0 * em.bsphere_radius)
+    return {"d": d, "dist": dist, "pdf": pdf, "spec": spec}
+
+
+def eval_environment(scene, d, wavelengths):
+    """Environment radiance along escaped direction d (constant.cpp eval /
+    envmap lat-long lookup)."""
     if not scene.has_environment:
         return jnp.zeros(wavelengths.shape)
+    if scene.emitter_kinds[scene.environment_idx] == EM_ENVMAP:
+        return _env_radiance_spec(scene, d, wavelengths)
     return radiance(scene, scene.environment_idx, wavelengths)
 
 
@@ -203,6 +346,7 @@ def sample_emitter_direct(scene, ref_p, wavelengths, u2):
         EM_AREA: _sample_area_emitter,
         EM_CONSTANT: _sample_constant_emitter,
         EM_POINT: _sample_point_emitter,
+        EM_ENVMAP: _sample_envmap_emitter,
     }
     kinds = scene.emitter_kinds
     out = None
@@ -248,6 +392,11 @@ def pdf_emitter_direct(scene, emitter_ids, d, dist, n_at_hit):
             pdf = jnp.where(mask, p_area, pdf)
         elif kind == EM_CONSTANT:
             pdf = jnp.where(mask, m.InvFourPi, pdf)
+        elif kind == EM_ENVMAP:
+            u, v, sin_t = _env_dir_to_uv(scene, d)
+            pdf = jnp.where(
+                mask & (sin_t > 1e-6), _env_pdf_sa(scene, u, v, sin_t), pdf
+            )
     if scene.n_emitters > 1:
         pdf = pdf / scene.n_emitters
     return jnp.where(emitter_ids >= 0, pdf, 0.0)

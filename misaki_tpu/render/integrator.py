@@ -55,7 +55,7 @@ def sample_path(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
     # (path.cpp:34-47; hide_emitters defaults to false)
     if not scene.hide_emitters:
         if scene.has_environment:
-            env = emitter.eval_environment(scene, wavelengths)
+            env = emitter.eval_environment(scene, ray["d"], wavelengths)
             result = result + jnp.where((~si["valid"])[None, :], env, 0.0)
         em_val = emitter.eval_emitter(
             scene, si["emitter"], si["wi"], si["uv"], wavelengths
@@ -136,7 +136,7 @@ def sample_path(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
         em_pdf = jnp.where(hit_area, em_pdf_area, 0.0)
         if scene.has_environment:
             hit_env = ~si_next["valid"]
-            env_val = emitter.eval_environment(scene, wavelengths)
+            env_val = emitter.eval_environment(scene, wo_world, wavelengths)
             value = jnp.where(hit_env[None, :], env_val, value)
             env_ids = jnp.full((L,), scene.environment_idx, jnp.int32)
             env_pdf = emitter.pdf_emitter_direct(
@@ -337,7 +337,7 @@ def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
         # environment on miss (volpath.cpp:80-91); a lane inside a medium
         # that misses has infinite optical depth -> tr == 0 already via esc
         if scene.has_environment:
-            env = emitter.eval_environment(scene, wavelengths)
+            env = emitter.eval_environment(scene, ray_d, wavelengths)
             take_env = surface & ~si["valid"] & show_emit
             result = result + jnp.where(take_env[None, :], tp_surf * env, 0.0)
         # area-emitter hit (volpath.cpp:93-97)

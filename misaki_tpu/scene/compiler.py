@@ -43,6 +43,7 @@ from misaki_tpu.scene.types import (
     DIST_GGX,
     EM_AREA,
     EM_CONSTANT,
+    EM_ENVMAP,
     EM_POINT,
     EmitterTable,
     FC_BSDF,
@@ -335,6 +336,129 @@ def _radiance_model(obj):
 # shapes / meshes
 # ---------------------------------------------------------------------------
 
+def _read_rgbe_hdr(path):
+    """Minimal Radiance .hdr (RGBE) reader -> (H, W, 3) float32 linear RGB.
+
+    Replaces the OIIO/stb dependency for the one HDR format imageio's core
+    cannot read without the FreeImage plugin. Handles the common
+    `-Y H +X W` orientation with adaptive RLE scanlines."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # header ends at the first blank line; next line is the resolution
+    pos = data.find(b"\n\n")
+    if pos < 0:
+        raise ValueError("not a Radiance HDR file")
+    res_end = data.find(b"\n", pos + 2)
+    res = data[pos + 2: res_end].split()
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation {res}")
+    H, W = int(res[1]), int(res[3])
+    buf = np.frombuffer(data[res_end + 1:], np.uint8)
+    out = np.zeros((H, W, 4), np.uint8)
+    p = 0
+    for y in range(H):
+        if W < 8 or W > 0x7FFF or buf[p] != 2 or buf[p + 1] != 2:
+            # flat (non-RLE) scanline
+            row = buf[p: p + W * 4].reshape(W, 4)
+            out[y] = row
+            p += W * 4
+            continue
+        p += 4  # scanline header
+        for ch in range(4):
+            x = 0
+            while x < W:
+                n = int(buf[p])
+                p += 1
+                if n > 128:  # run
+                    out[y, x: x + n - 128, ch] = buf[p]
+                    p += 1
+                    x += n - 128
+                else:  # literal
+                    out[y, x: x + n, ch] = buf[p: p + n]
+                    p += n
+                    x += n
+    mant = out[..., :3].astype(np.float32)
+    exp = out[..., 3].astype(np.int32)
+    scale = np.where(exp == 0, 0.0, np.ldexp(1.0, exp - 136)).astype(np.float32)
+    return mant * scale[..., None]
+
+
+# Envmaps are fetched in-kernel with one-hot MXU matmuls (gather-free —
+# core/table.py), whose cost scales with He*We, so maps are box-downsampled
+# to this cap at compile time. Raise for quality, lower for speed.
+ENV_MAX_RES = (128, 256)
+
+
+def _load_envmap(obj, base_dir, max_res=ENV_MAX_RES):
+    """<emitter type="envmap"> -> (rgb (He,We,3), pmf, marg_cdf, cond_cdf,
+    to_world rotation). Luminance x sin(theta) importance tables mirror the
+    stale reference emitter (emitters/envmap.cpp roadmap item in SURVEY.md)."""
+    fname = obj["props"].get("filename")
+    rgb = None
+    if fname:
+        path = Path(base_dir) / str(fname)
+        try:
+            if path.suffix.lower() == ".hdr":
+                rgb = _read_rgbe_hdr(path)
+            else:
+                import imageio.v3 as iio
+
+                img = np.asarray(iio.imread(str(path)), np.float32)
+                if img.ndim == 2:
+                    img = np.repeat(img[..., None], 3, -1)
+                rgb = img[..., :3]
+                if img.dtype == np.uint8 or rgb.max() > 0 and path.suffix.lower() in (
+                    ".png", ".jpg", ".jpeg"
+                ):
+                    rgb = np.clip(rgb / 255.0 if rgb.max() > 1.001 else rgb, 0, None)
+                    rgb = np.where(
+                        rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
+                    )
+        except (OSError, ValueError) as e:
+            from misaki_tpu.utils.logging import get_logger
+
+            get_logger().warning("envmap %s unreadable (%s); using gray", fname, e)
+    if rgb is None:
+        rgb = np.full((1, 2, 3), 0.5, np.float32)
+    rgb = rgb.astype(np.float64) * float(obj["props"].get("scale", 1.0))
+
+    # box-downsample to the kernel cost cap (one-hot fetch is O(He*We)/lane)
+    He, We = rgb.shape[:2]
+    fy = -(-He // max_res[0])
+    fx = -(-We // max_res[1])
+    if fy > 1 or fx > 1:
+        py, px = (-He) % fy, (-We) % fx
+        rgb = np.pad(rgb, ((0, py), (0, px), (0, 0)), mode="edge")
+        rgb = rgb.reshape(
+            rgb.shape[0] // fy, fy, rgb.shape[1] // fx, fx, 3
+        ).mean(axis=(1, 3))
+    He, We = rgb.shape[:2]
+
+    lum = rgb @ np.array([0.212671, 0.715160, 0.072169])
+    sin_t = np.sin((np.arange(He) + 0.5) / He * np.pi)
+    w = np.maximum(lum, 0.0) * sin_t[:, None] + 1e-12
+    pmf = w / w.sum()
+    row_mass = pmf.sum(axis=1)
+    marg_cdf = np.cumsum(row_mass)
+    marg_cdf[-1] = 1.0
+    cond_cdf = np.cumsum(pmf / row_mass[:, None], axis=1)
+    cond_cdf[:, -1] = 1.0
+
+    M = obj["props"].get("to_world")
+    R = np.eye(3) if M is None else np.asarray(M, np.float64)[:3, :3]
+    # strip scale so the inverse is a pure rotation transpose-equivalent
+    norms = np.linalg.norm(R, axis=0)
+    R = R / np.where(norms > 0, norms, 1.0)
+    return (
+        rgb.astype(np.float32),
+        pmf.astype(np.float32),
+        marg_cdf.astype(np.float32),
+        cond_cdf.astype(np.float32),
+        R.astype(np.float32),
+        np.linalg.inv(R).astype(np.float32),
+    )
+
+
 def _find_child(obj, type_names, name=None):
     for n, ch in obj["children"]:
         if ch["type"] in type_names and (name is None or n == name):
@@ -483,7 +607,7 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
             )
             face_blocks.append(mesh)
         elif ch["type"] in ("constant", "envmap", "point"):
-            kind = {"constant": EM_CONSTANT, "envmap": EM_CONSTANT, "point": EM_POINT}[
+            kind = {"constant": EM_CONSTANT, "envmap": EM_ENVMAP, "point": EM_POINT}[
                 ch["type"]
             ]
             emitter_objs.append((kind, -1, ch))
@@ -572,11 +696,25 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
     em_coeff, em_curve = [], []
     em_face_global, em_face_cdf, em_area = [], [], []
     env_idx = -1
+    # envmap table stubs (real data filled below if the scene has one)
+    env_rgb = np.full((1, 2, 3), 0.5, np.float32)
+    env_pmf = np.full((1, 2), 0.5, np.float32)
+    env_marg = np.ones(1, np.float32)
+    env_cond = np.asarray([[0.5, 1.0]], np.float32)
+    env_rot = np.eye(3, dtype=np.float32)
+    env_rot_inv = np.eye(3, dtype=np.float32)
     for ei, (kind, s_idx, obj) in enumerate(emitter_objs):
         em_kind.append(kind)
         em_shape.append(s_idx)
         em_pos.append(np.asarray(obj["props"].get("position", (0, 0, 0)), np.float64))
-        coeff, curve = _radiance_model(obj)
+        if kind == EM_ENVMAP:
+            coeff = np.array([0.0, 0.0, _SIGMOID_ONE])
+            curve = np.ones(95)
+            (env_rgb, env_pmf, env_marg, env_cond, env_rot, env_rot_inv) = (
+                _load_envmap(obj, base_dir)
+            )
+        else:
+            coeff, curve = _radiance_model(obj)
         em_coeff.append(coeff)
         em_curve.append(curve)
         if kind == EM_AREA:
@@ -591,7 +729,7 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
             em_face_global.append(np.zeros(1, np.int32))
             em_face_cdf.append(np.ones(1, np.float32))
             em_area.append(4.0 * np.pi * radius * radius)
-            if kind == EM_CONSTANT:
+            if kind in (EM_CONSTANT, EM_ENVMAP):
                 env_idx = ei
 
     n_emitters = len(em_kind)
@@ -623,6 +761,12 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         area=np.asarray(em_area, np.float32).reshape(-1),
         bsphere_center=center.astype(np.float32),
         bsphere_radius=np.float32(radius),
+        env_rgb=env_rgb,
+        env_pmf=env_pmf,
+        env_marg_cdf=env_marg,
+        env_cond_cdf=env_cond,
+        env_to_world=env_rot,
+        env_to_local=env_rot_inv,
     )
 
     media = MediumTable(

@@ -157,6 +157,15 @@ class EmitterTable:
     # Scene bounding sphere for infinite emitters (constant.cpp set_scene).
     bsphere_center: Any  # (3,) float32
     bsphere_radius: Any  # () float32
+    # Environment map (stale-set parity: emitters/envmap.cpp — lat-long HDR
+    # with 2D luminance-CDF importance sampling + sin-theta correction).
+    # At most one envmap per scene; scenes without one carry (1,1) stubs.
+    env_rgb: Any       # (He, We, 3) float32 — scaled linear RGB texels
+    env_pmf: Any       # (He, We) float32 — discrete texel pmf (sums to 1)
+    env_marg_cdf: Any  # (He,) float32 — row marginal CDF
+    env_cond_cdf: Any  # (He, We) float32 — per-row conditional CDF
+    env_to_world: Any  # (3, 3) float32 — rotation part of to_world
+    env_to_local: Any  # (3, 3) float32 — inverse rotation
 
 
 @pytree_dataclass
