@@ -41,21 +41,51 @@ def main():
     # max_depth -1 in the scene: cap at depth_cap+1 so n_bounce_iters == depth_cap
     scene = scene.replace(max_depth=depth_cap + 1)
 
-    # warmup (compile)
+    import numpy as np
+
+    # warmup (compile) — np.asarray is the ONLY reliable sync on this
+    # backend: block_until_ready can return before execution completes
+    # (deferred/queued remote execution), which silently inflates rates.
     out = render(scene, seed=0, chunk_size=chunk, depth_cap=depth_cap)
-    out["rgb"].block_until_ready()
+    np.asarray(out["rgb"])
 
     n_rep = int(os.environ.get("BENCH_REPS", 3))
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = render(scene, seed=i + 1, chunk_size=chunk, depth_cap=depth_cap)
-    out["rgb"].block_until_ready()
+    np.asarray(out["rgb"])  # hard sync: device queue drains in order
     dt = (time.perf_counter() - t0) / n_rep
 
     n_samples = width * height * spp
     rays_per_sample = 1 + depth_cap * 2  # camera + (closest + shadow) per bounce
     rays = n_samples * rays_per_sample
     rays_per_s = rays / dt
+
+    extra = {}
+    if os.environ.get("BENCH_EXTRA", "1") != "0":
+        for name, path, reps, kw in (
+            ("bunny_debug_rays_per_s",
+             "/root/reference/assets/bunny/scene.xml", 5, {}),
+            ("figure2_roughconductor_rays_per_s",
+             "/root/reference/results/Figure_2_RoughConductor/roughconductor.xml",
+             2, dict(spp=16, width=320, height=180)),
+        ):
+            try:
+                sc = load_and_compile(path, **kw)
+                out = render(sc, seed=0, chunk_size=chunk, depth_cap=depth_cap)
+                np.asarray(out["rgb"])
+                t0 = time.perf_counter()
+                for i in range(reps):
+                    out = render(sc, seed=i + 1, chunk_size=chunk,
+                                 depth_cap=depth_cap)
+                np.asarray(out["rgb"])
+                d = (time.perf_counter() - t0) / reps
+                ns = sc.film_width * sc.film_height * sc.spp
+                rps = 1 if sc.integrator == "debug" else 1 + depth_cap * 2
+                extra[name] = ns * rps / d
+            except Exception as e:  # pragma: no cover - keep headline alive
+                extra[name] = f"error: {e}"
+                print(f"bench extra {name} failed: {e}", file=sys.stderr)
 
     baseline = 100e6  # BASELINE.json north star: >= 100M rays/s/chip
     print(
@@ -65,6 +95,7 @@ def main():
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / baseline,
+                "extra": extra,
             }
         )
     )

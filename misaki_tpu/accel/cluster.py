@@ -1,0 +1,509 @@
+"""TPU-native large-scene intersector: cluster-BVH Pallas kernels.
+
+This is the Embree replacement for scenes too large for the single-block
+brute-force streamer (reference scene.cpp:197-275, rtcIntersect1 /
+rtcOccluded1). Per-lane gathers hang on this TPU backend, and a lockstep
+per-lane BVH walk is brutally divergent on 8x128 vector hardware — so the
+design is a *two-level cluster BVH* with dense, gather-free leaf tests:
+
+  * **Build (host)**: recursive largest-axis median split of the faces into
+    clusters of <= CLUSTER_FACES triangles; faces are re-packed per cluster
+    into a dense (C, 10, B) table [p0, e1, e2, face_id] so one scalar-indexed
+    VMEM load fetches a whole leaf.
+
+  * **Traverse (Pallas)**: the wavefront is cut into tiles of R_TILE rays
+    (one grid program each). A program
+      1. slab-tests its R rays against all C cluster AABBs at once
+         ((R, C) dense VPU work, ~20 flops/pair),
+      2. sorts clusters front-to-back by the tile's min entry distance with
+         an O(C^2) rank sort (pure 2D vector ops, no scalar sort),
+      3. walks the sorted list with a `while_loop`, streaming one dense
+         (R, B) Moller-Trumbore block per needed cluster, and
+      4. exits early once every ray's committed hit is nearer than the next
+         cluster's entry (`key_sorted[k] >= max(t_best)`).
+    Clusters no ray touches sort to the back with key = +inf and are never
+    visited. Camera tiles are coherent, so typical primary-ray programs
+    visit a small fraction of C.
+
+Everything is (sublane, lane)-aligned dense vector work: the only dynamic
+indexing is scalar-prefix (cluster id -> leading-axis VMEM load), which the
+Mosaic compiler supports natively. No per-lane gathers anywhere.
+
+CPU correctness is tested via `interpret=True` (tests/test_cluster.py);
+the production dispatch in accel/traverse.py only routes here on TPU.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from misaki_tpu.scene.types import pytree_dataclass
+from typing import Any
+
+CLUSTER_FACES = 256     # faces per cluster block (lane-axis multiple of 128)
+R_TILE = 256            # rays per grid program (sublane-axis multiple of 8)
+MAX_VISITS = 48         # SMEM visit-list cap per tile (overflow -> full scan)
+_BIG = 3.0e38  # plain float: jnp constants would be captured tracers in Pallas
+
+
+@pytree_dataclass
+class ClusterAccel:
+    """Cluster-BVH device tables. Empty (C == 0) => not built."""
+
+    bounds: Any   # (8, Cpad) f32 rows [lox loy loz hix hiy hiz 0 0]; pads +/-inf
+    tri: Any      # (C, 10, B) f32 rows [p0(3) e1(3) e2(3) fid(1)]; pad fid -1
+    tab: Any      # (C, T, B) f32 — face_tab columns permuted to cluster order
+    _static = ("n_clusters",)
+    n_clusters: int = 0
+
+
+def empty_cluster_accel():
+    return ClusterAccel(
+        bounds=np.zeros((8, 0), np.float32),
+        tri=np.zeros((0, 10, CLUSTER_FACES), np.float32),
+        tab=np.zeros((0, 1, CLUSTER_FACES), np.float32),
+        n_clusters=0,
+    )
+
+
+def build_clusters(p0, e1, e2, target=CLUSTER_FACES, face_tab=None):
+    """Host-side cluster build: recursive largest-extent median split of the
+    face centroids until every cluster holds <= target faces (the two-level
+    analogue of Embree's top-down build, scene.cpp:201-212). Median splits
+    keep clusters balanced (fill factor ~75%), which matters more here than
+    SAH optimality: every visited cluster costs one full dense block."""
+    F = len(p0)
+    v0 = np.asarray(p0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    v1, v2 = v0 + e1, v0 + e2
+    tri_lo = np.minimum(np.minimum(v0, v1), v2)
+    tri_hi = np.maximum(np.maximum(v0, v1), v2)
+    cen = 0.5 * (tri_lo + tri_hi)
+
+    clusters = []
+    stack = [np.arange(F)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= target:
+            clusters.append(idx)
+            continue
+        c = cen[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, ax], kind="stable")
+        mid = len(idx) // 2
+        stack.append(idx[order[mid:]])
+        stack.append(idx[order[:mid]])
+
+    C = len(clusters)
+    Cpad = max(-(-C // 128) * 128, 128)
+    tri = np.zeros((C, 10, target), np.float32)
+    tri[:, 9, :] = -1.0
+    T = 1 if face_tab is None else face_tab.shape[0]
+    tab = np.zeros((C, T, target), np.float32)
+    bounds = np.empty((8, Cpad), np.float32)
+    bounds[0:3, :] = np.float32(np.inf)    # padded clusters: lo=+inf, hi=-inf
+    bounds[3:6, :] = np.float32(-np.inf)
+    bounds[6:8, :] = 0.0
+    for ci, idx in enumerate(clusters):
+        n = len(idx)
+        tri[ci, 0:3, :n] = v0[idx].T
+        tri[ci, 3:6, :n] = e1[idx].T
+        tri[ci, 6:9, :n] = e2[idx].T
+        tri[ci, 9, :n] = idx.astype(np.float32)   # exact to 2^24 faces
+        if face_tab is not None:
+            tab[ci, :, :n] = np.asarray(face_tab)[:, idx]
+        bounds[0:3, ci] = tri_lo[idx].min(axis=0)
+        bounds[3:6, ci] = tri_hi[idx].max(axis=0)
+    return ClusterAccel(bounds=bounds, tri=tri, tab=tab, n_clusters=C)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _safe_rcp(c):
+    return 1.0 / jnp.where(jnp.abs(c) < 1e-20, jnp.where(c < 0, -1e-20, 1e-20), c)
+
+
+def pl_program_id():
+    from jax.experimental import pallas as pl
+
+    return pl.program_id(0)
+
+
+def _cull_order(rays, bounds, n_clusters):
+    """Vectorized (plain XLA, outside the kernel) cluster cull + front-to-back
+    visit order for every R_TILE ray tile at once.
+
+    rays: (Lp, 8) tile-major; bounds: (8, Cpad). Returns
+    (order_t (Cpad, nt) i32 — sorted cluster ids per tile, column-major so
+    the kernel reads a (Cpad, 1) SMEM block — and count (1, nt) i32).
+    Doing this in XLA keeps the Pallas programs free of (C,1)-shaped vector
+    work, which lowers to near-scalar VPU code and dominated early kernels."""
+    nt = rays.shape[0] // R_TILE
+    rv = rays.reshape(nt, R_TILE, 8)
+    o = rv[..., 0:3]
+    inv = _safe_rcp(rv[..., 3:6])
+    # per-tile ray frustum as component intervals — the test below is pure
+    # interval arithmetic, (nt, Cpad)-sized, conservative (a superset of the
+    # exact per-ray cull; extra visits only cost time, never correctness).
+    # An exact per-ray cull would materialize (nt, R, Cpad) intermediates
+    # (~300 MB per cast) — the interval form is ~1000x smaller.
+    o_lo, o_hi = o.min(axis=1), o.max(axis=1)        # (nt, 3)
+    i_lo, i_hi = inv.min(axis=1), inv.max(axis=1)
+    mint_lo = rv[..., 6].min(axis=1)[:, None]        # (nt, 1)
+    maxt_hi = rv[..., 7].max(axis=1)[:, None]
+
+    tn_lower = jnp.broadcast_to(mint_lo, (nt, bounds.shape[1]))
+    tf_upper = jnp.broadcast_to(maxt_hi, (nt, bounds.shape[1]))
+    for k in range(3):
+        lo_c = bounds[k][None, :]                    # (1, Cpad)
+        hi_c = bounds[k + 3][None, :]
+        il = i_lo[:, k:k + 1]
+        ih = i_hi[:, k:k + 1]
+
+        def imul(a_lo, a_hi):
+            p1, p2 = a_lo * il, a_lo * ih
+            p3, p4 = a_hi * il, a_hi * ih
+            return (
+                jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+            )
+
+        t0_lo, t0_hi = imul(lo_c - o_hi[:, k:k + 1], lo_c - o_lo[:, k:k + 1])
+        t1_lo, t1_hi = imul(hi_c - o_hi[:, k:k + 1], hi_c - o_lo[:, k:k + 1])
+        tn_lower = jnp.maximum(tn_lower, jnp.minimum(t0_lo, t1_lo))
+        tf_upper = jnp.minimum(tf_upper, jnp.maximum(t0_hi, t1_hi))
+
+    valid = (bounds[0] <= bounds[3])[None, :]
+    possible = (tn_lower <= tf_upper) & valid
+    key = jnp.where(possible, tn_lower, _BIG)        # (nt, Cpad)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(key < _BIG, axis=1, keepdims=True).astype(jnp.int32)
+    # SMEM is ~1 MB: cap the visit list at MAX_VISITS columns; the rare tile
+    # whose frustum spans more clusters falls back to a full identity-order
+    # scan, signalled by a negative count (see the kernels)
+    overflow = count[:, 0] > MAX_VISITS
+    count = jnp.where(overflow[:, None], -n_clusters, count)
+    # transposed (small dim last is padded to 128 in SMEM): (MAXV, nt), (1, nt)
+    return order[:, :MAX_VISITS].T, count.T
+
+
+def _ray_components(rays_ref):
+    return dict(
+        ox=rays_ref[:, 0:1], oy=rays_ref[:, 1:2], oz=rays_ref[:, 2:3],
+        dx=rays_ref[:, 3:4], dy=rays_ref[:, 4:5], dz=rays_ref[:, 5:6],
+        mint=rays_ref[:, 6:7], maxt=rays_ref[:, 7:8],
+    )
+
+
+def _mt_cluster(rays, blk, t_cap):
+    """Dense Moller-Trumbore of R rays against one cluster block.
+
+    rays: dict of (R, 1); blk: (10, B). Returns (t, u, v, hit) each (R, B);
+    t-range is [mint, t_cap (R,1)]."""
+    p0x, p0y, p0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]
+    e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
+    e2x, e2y, e2z = blk[6:7, :], blk[7:8, :], blk[8:9, :]
+    dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
+    ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= rays["mint"])
+        & (t <= t_cap)
+    )
+    return t, u, v, hit
+
+
+def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
+                    out_ref, face_ref):
+    """MT walk over the precomputed per-tile visit list (front-to-back).
+
+    The cull + sort live OUTSIDE the kernel (plain XLA, `_cull_order`): the
+    (C,1)-shaped vector work they'd need in-kernel lowers to near-scalar VPU
+    code and dominated runtime. ord/cnt arrive as SMEM blocks — scalar reads
+    there are native and cheap. The winner's face_tab row is fetched inside
+    the loop with one (T, B) x (B, R) one-hot MXU matmul per visit, replacing
+    the O(L x F x T) global one-hot matmul that dominated large-scene frames.
+    """
+    rays = _ray_components(rays_ref)
+    R = rays["ox"].shape[0]
+    B = tri_ref.shape[2]
+    T = tab_ref.shape[1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(jnp.float32)
+    iota_bc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).astype(jnp.float32)
+    # cap at _BIG so "no hit in block" (tmin == _BIG) never commits
+    t0 = jnp.minimum(rays["maxt"], _BIG)
+    z = jnp.zeros((R, 1), jnp.float32)
+    init = (t0, z, z, z - 1.0, jnp.zeros((T, R), jnp.float32))
+    r = pl_program_id()                        # this program's tile column
+    n_raw = cnt_ref[0, r]
+    full = n_raw < 0                           # visit-list overflow: full scan
+    n = jnp.where(full, -n_raw, n_raw)
+
+    def body(k, s):
+        t_b, u_b, v_b, f_b, acc = s
+        kk = jnp.minimum(k, MAX_VISITS - 1)
+        c = jnp.where(full, k, ord_ref[kk, r])
+        c = jnp.minimum(c, C - 1)              # min() guards VMEM OOB (pads
+        blk = tri_ref[c]                       # never reach here once culled)
+        fid = blk[9:10, :]
+        t, u, v, hit = _mt_cluster(rays, blk, t_b)
+        tm = jnp.where(hit & (fid >= 0.0), t, _BIG)
+        tmin = jnp.min(tm, axis=1, keepdims=True)          # (R, 1)
+        sel = tm <= tmin
+        fwin = jnp.max(jnp.where(sel, fid, -1.0), axis=1, keepdims=True)
+        sel2 = sel & (fid == fwin)
+        um = jnp.max(jnp.where(sel2, u, -_BIG), axis=1, keepdims=True)
+        vm = jnp.max(jnp.where(sel2, v, -_BIG), axis=1, keepdims=True)
+        sm = jnp.max(jnp.where(sel2, iota_b, -1.0), axis=1, keepdims=True)
+        take = tmin < t_b
+        take_row = take.reshape(1, R)
+        slot_row = sm.reshape(1, R)
+        onehot = ((iota_bc == slot_row) & take_row).astype(jnp.float32)
+        row = jax.lax.dot_general(
+            tab_ref[c], onehot,                            # (T,B) x (B,R)
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            jnp.where(take, tmin, t_b),
+            jnp.where(take, um, u_b),
+            jnp.where(take, vm, v_b),
+            jnp.where(take, fwin, f_b),
+            jnp.where(take_row, row, acc),
+        )
+
+    t_b, u_b, v_b, f_b, acc = jax.lax.fori_loop(0, n, body, init)
+    out_ref[:, 0:1] = jnp.where(f_b >= 0.0, t_b, _BIG)
+    out_ref[:, 1:2] = u_b
+    out_ref[:, 2:3] = v_b
+    out_ref[:, 3:4] = f_b
+    face_ref[:, :] = acc
+
+
+def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, cnt_ref, out_ref):
+    rays = _ray_components(rays_ref)
+    R = rays["ox"].shape[0]
+    r = pl_program_id()
+    n_raw = cnt_ref[0, r]
+    full = n_raw < 0
+    n = jnp.where(full, -n_raw, n_raw)
+
+    def body(k, occ):
+        kk = jnp.minimum(k, MAX_VISITS - 1)
+        c = jnp.minimum(jnp.where(full, k, ord_ref[kk, r]), C - 1)
+        blk = tri_ref[c]
+        fid = blk[9:10, :]
+        _, _, _, hit = _mt_cluster(rays, blk, rays["maxt"])
+        any_hit = jnp.max(
+            jnp.where(hit & (fid >= 0.0), 1.0, 0.0), axis=1, keepdims=True
+        )
+        return jnp.maximum(occ, any_hit)
+
+    occ = jax.lax.fori_loop(0, n, body, jnp.zeros((R, 1), jnp.float32))
+    out_ref[:, 0:1] = occ
+
+
+# ---------------------------------------------------------------------------
+# host wrappers
+# ---------------------------------------------------------------------------
+
+TILE_PX = 16  # pixel-tile edge for the coherence swizzle
+
+
+class _Swizzle:
+    """Map wavefront lanes into 16x16-PIXEL tiles so each kernel program's
+    rays share a narrow frustum (row-strip tiles touch 5-10x more clusters).
+
+    The wavefront is pixel-major (lane = (y*W + x)*spp + s), so the swizzle
+    is a pure dense reshape/transpose chain — lanes move in whole 16*spp-wide
+    blocks, there is not a single gather. Outputs are inverse-swizzled the
+    same way. Cost: one HBM-bandwidth relayout per array (~0.1 ms/chunk)."""
+
+    def __init__(self, L, image_cols, spp):
+        self.ok = (
+            image_cols is not None
+            and spp >= 1
+            and L % image_cols == 0
+            and (L // image_cols) >= 2 * TILE_PX   # worth tiling vertically
+        )
+        if not self.ok:
+            return
+        self.rows = L // image_cols
+        self.cols = image_cols
+        self.tcw = TILE_PX * spp
+        self.rows_p = -(-self.rows // TILE_PX) * TILE_PX
+        self.cols_p = -(-self.cols // self.tcw) * self.tcw
+        self.Lp = self.rows_p * self.cols_p
+
+    def fwd(self, rays):
+        """(L, 8) lane-major -> (Lp, 8) tile-major (pads: maxt = -1)."""
+        r = rays.reshape(self.rows, self.cols, 8)
+        pr, pc = self.rows_p - self.rows, self.cols_p - self.cols
+        if pr or pc:
+            # pad rays: o=d=0, mint=0, maxt=-1 — guaranteed slab/MT miss
+            body = jnp.pad(r[..., :7], ((0, pr), (0, pc), (0, 0)))
+            mx = jnp.pad(r[..., 7:], ((0, pr), (0, pc), (0, 0)),
+                         constant_values=-1.0)
+            r = jnp.concatenate([body, mx], axis=-1)
+        r = r.reshape(
+            self.rows_p // TILE_PX, TILE_PX, self.cols_p // self.tcw, self.tcw, 8
+        )
+        return jnp.transpose(r, (0, 2, 1, 3, 4)).reshape(self.Lp, 8)
+
+    def inv_rows(self, x, L):
+        """(Lp, K) tile-major -> (L, K) lane-major."""
+        K = x.shape[1]
+        x = x.reshape(
+            self.rows_p // TILE_PX, self.cols_p // self.tcw, TILE_PX, self.tcw, K
+        )
+        x = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(self.rows_p, self.cols_p, K)
+        return x[: self.rows, : self.cols].reshape(self.rows * self.cols, K)[:L]
+
+    def inv_cols(self, x, L):
+        """(T, Lp) tile-major -> (T, L) lane-major."""
+        T = x.shape[0]
+        x = x.reshape(
+            T, self.rows_p // TILE_PX, self.cols_p // self.tcw, TILE_PX, self.tcw
+        )
+        x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(T, self.rows_p, self.cols_p)
+        return x[:, : self.rows, : self.cols].reshape(T, self.rows * self.cols)[:, :L]
+
+
+def _pack_rays(o, d, mint, maxt, image_cols=None, spp=1):
+    L = o[0].shape[0]
+    rays = jnp.stack(
+        [o[0], o[1], o[2], d[0], d[1], d[2], mint, maxt], axis=1
+    ).astype(jnp.float32)
+    sw = _Swizzle(L, image_cols, spp)
+    if sw.ok:
+        rays = sw.fwd(rays)
+        Lp0 = sw.Lp
+    else:
+        sw = None
+        Lp0 = L
+    Lp = -(-Lp0 // R_TILE) * R_TILE
+    if Lp != Lp0:
+        pad = jnp.zeros((Lp - Lp0, 8), jnp.float32)
+        pad = pad.at[:, 7].set(-1.0)  # maxt < mint: padded rays hit nothing
+        rays = jnp.concatenate([rays, pad], axis=0)
+    return rays, L, Lp, sw
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _common_specs(acc, Lp):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Cpad = acc.bounds.shape[1]
+    in_specs = [
+        pl.BlockSpec((R_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # tri table
+    ]
+    # visit schedule: full arrays in SMEM — scalar loads there have no
+    # vector alignment rules, and the kernel indexes them by program id
+    del Cpad
+    sched_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # order (nt, Cpad)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # count (nt, 1)
+    ]
+    return pl, pltpu, (Lp // R_TILE,), in_specs, sched_specs
+
+
+def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
+                       image_cols=None, spp=1):
+    """Closest hit over the cluster accel; o/d vec3 tuples of (L,).
+    Returns {"t", "prim", "u", "v", "fd"} with t = inf / prim = -1 on miss;
+    "fd" is the winner's packed face_tab row, (T, L) — fetched inside the
+    kernel (see _closest_kernel), zeros on miss. image_cols/spp (static)
+    enable the pixel-tile coherence swizzle for image-ordered wavefronts."""
+    rays, L, Lp, sw = _pack_rays(o, d, mint, maxt, image_cols, spp)
+    bounds = jnp.asarray(acc.bounds)
+    order_t, count = _cull_order(rays, bounds, acc.n_clusters)
+    pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
+    T = acc.tab.shape[1]
+    out, face = pl.pallas_call(
+        partial(_closest_kernel, acc.n_clusters),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, 4), jnp.float32),
+            jax.ShapeDtypeStruct((T, Lp), jnp.float32),   # lane-last like the
+        ),                                                # rest of the engine
+        grid=grid,
+        in_specs=in_specs
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]         # face table
+        + sched_specs,
+        out_specs=(
+            pl.BlockSpec((R_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        # geometry + face tables resident in VMEM: the default 16 MB scoped
+        # budget is too small for ~100k-face scenes (v5e has 128 MB VMEM)
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(rays, jnp.asarray(acc.tri), jnp.asarray(acc.tab), order_t, count)
+    if sw is not None:
+        out = sw.inv_rows(out[: sw.Lp], L)
+        face = sw.inv_cols(face[:, : sw.Lp], L)
+    else:
+        out, face = out[:L], face[:, :L]
+    t = out[:, 0]
+    prim = out[:, 3].astype(jnp.int32)
+    return {
+        "t": jnp.where(prim >= 0, t, jnp.inf),
+        "prim": prim,
+        "u": out[:, 1],
+        "v": out[:, 2],
+        "fd": face,
+    }
+
+
+def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
+                      image_cols=None, spp=1):
+    """Any-hit visibility test; True = occluded."""
+    rays, L, Lp, sw = _pack_rays(o, d, mint, maxt, image_cols, spp)
+    bounds = jnp.asarray(acc.bounds)
+    order_t, count = _cull_order(rays, bounds, acc.n_clusters)
+    pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
+    out = pl.pallas_call(
+        partial(_anyhit_kernel, acc.n_clusters),
+        out_shape=jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+        grid=grid,
+        in_specs=in_specs + sched_specs,
+        out_specs=pl.BlockSpec(
+            (R_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(rays, jnp.asarray(acc.tri), order_t, count)
+    if sw is not None:
+        out = sw.inv_rows(out[: sw.Lp], L)
+    else:
+        out = out[:L]
+    return out[:, 0] > 0.5

@@ -96,15 +96,21 @@ def intersect_brute(geom, o, d, mint, maxt, n_faces):
         face_ids = b * FACE_BLOCK + jax.lax.broadcasted_iota(
             jnp.int32, (1, FACE_BLOCK), 1
         )
+        # gather-free winner select (t[lane, argmin] is a per-lane gather —
+        # pathological on this backend): min-reduce, then masked-max the
+        # winner's attributes with a face-id tie-break
         t = jnp.where(hit & (face_ids < n_faces), t, jnp.inf)
-        k = jnp.argmin(t, axis=-1)
-        lane = jnp.arange(L)
-        t_blk = t[lane, k]
+        t_blk = jnp.min(t, axis=-1)                       # (L,)
+        sel = t <= t_blk[:, None]
+        fwin = jnp.max(jnp.where(sel, face_ids, -1), axis=-1)
+        sel2 = sel & (face_ids == fwin[:, None])
+        u_blk = jnp.max(jnp.where(sel2, u, -jnp.inf), axis=-1)
+        v_blk = jnp.max(jnp.where(sel2, v, -jnp.inf), axis=-1)
         closer = t_blk < t_best
         t_best = jnp.where(closer, t_blk, t_best)
-        prim_best = jnp.where(closer, b * FACE_BLOCK + k.astype(jnp.int32), prim_best)
-        u_best = jnp.where(closer, u[lane, k], u_best)
-        v_best = jnp.where(closer, v[lane, k], v_best)
+        prim_best = jnp.where(closer, fwin, prim_best)
+        u_best = jnp.where(closer, u_blk, u_best)
+        v_best = jnp.where(closer, v_blk, v_best)
         return t_best, prim_best, u_best, v_best
 
     if n_blocks == 1:
@@ -288,6 +294,18 @@ def ray_test_bvh(bvh, geom, o, d, mint, maxt):
 # Dispatch (static on scene structure)
 # ---------------------------------------------------------------------------
 
+def _tpu_cluster_path(scene):
+    """Static (trace-time) routing: the Pallas cluster-BVH kernels run on TPU
+    backends only; CPU (tests, virtual meshes, dryruns) uses the BVH2
+    wavefront loop, whose per-lane gathers are fine off-TPU."""
+    cluster = getattr(scene, "cluster", None)
+    return (
+        cluster is not None
+        and getattr(cluster, "n_clusters", 0) > 0
+        and jax.default_backend() == "tpu"
+    )
+
+
 def intersect(scene, o, d, mint, maxt):
     """Closest-hit (Scene::ray_intersect, scene.cpp:216-253). Rays are vec3
     tuples; returns {"t", "prim", "u", "v"} with t = inf on miss.
@@ -299,7 +317,14 @@ def intersect(scene, o, d, mint, maxt):
     d = tuple(map(jax.lax.stop_gradient, d))
     mint = jax.lax.stop_gradient(mint)
     maxt = jax.lax.stop_gradient(maxt)
-    if scene.bvh.node_lo.shape[0] == 0:
+    if _tpu_cluster_path(scene):
+        from misaki_tpu.accel.cluster import intersect_clusters
+
+        res = intersect_clusters(
+            scene.cluster, o, d, mint, maxt,
+            image_cols=scene.film_width * scene.spp, spp=scene.spp,
+        )
+    elif scene.bvh.node_lo.shape[0] == 0:
         res = intersect_brute(scene.geometry, o, d, mint, maxt, scene.n_faces)
         res["t"] = jnp.where(res["prim"] >= 0, res["t"], jnp.inf)
     else:
@@ -313,7 +338,14 @@ def ray_test(scene, o, d, mint, maxt):
     d = tuple(map(jax.lax.stop_gradient, d))
     mint = jax.lax.stop_gradient(mint)
     maxt = jax.lax.stop_gradient(maxt)
-    if scene.bvh.node_lo.shape[0] == 0:
+    if _tpu_cluster_path(scene):
+        from misaki_tpu.accel.cluster import ray_test_clusters
+
+        occ = ray_test_clusters(
+            scene.cluster, o, d, mint, maxt,
+            image_cols=scene.film_width * scene.spp, spp=scene.spp,
+        )
+    elif scene.bvh.node_lo.shape[0] == 0:
         occ = ray_test_brute(scene.geometry, o, d, mint, maxt, scene.n_faces)
     else:
         occ = ray_test_bvh(scene.bvh, scene.geometry, o, d, mint, maxt)

@@ -66,6 +66,16 @@ def main(argv=None):
         film_mod.write_png(dest, out["rgb"])
     else:
         film_mod.write_exr(dest, out["rgb"], out["alpha"])
+    # AOV integrator: one EXR per variable next to the main image
+    # (the reference packs them as extra film channels, aov.cpp:61-85)
+    for name, img in out.get("aovs", {}).items():
+        aov_dest = str(Path(dest).with_suffix("")) + f"_{name}.exr"
+        log.info("Writing AOV %s -> %s", name, aov_dest)
+        import numpy as np
+
+        if img.shape[-1] == 2:  # uv -> pad to RGB for a portable EXR
+            img = np.concatenate([img, np.zeros_like(img[..., :1])], -1)
+        film_mod.write_exr(aov_dest, img[..., 0] if img.shape[-1] == 1 else img)
     return 0
 
 

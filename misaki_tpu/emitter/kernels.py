@@ -67,14 +67,14 @@ def eval_emitter(scene, emitter_ids, wi_local, uv, wavelengths):
 def _env_dir_to_uv(scene, d):
     """World direction -> lat-long (u, v) in the emitter's local frame.
 
-    Convention (y-up): u = 0.5 + atan2(x, -z) / 2pi (wrapped), v = acos(y)/pi
-    — the standard Mitsuba lat-long parameterization. Returns (u, v, sin_t).
-    """
+    Convention (y-up), matching the reference exactly (envmap.cpp:65-67,76-78):
+    u = atan2(x, -z) / 2pi (wrapped to [0,1)), v = acos(y) / pi.
+    Returns (u, v, sin_t)."""
     R = scene.emitters.env_to_local
     x = R[0, 0] * d[0] + R[0, 1] * d[1] + R[0, 2] * d[2]
     y = R[1, 0] * d[0] + R[1, 1] * d[1] + R[1, 2] * d[2]
     z = R[2, 0] * d[0] + R[2, 1] * d[1] + R[2, 2] * d[2]
-    u = 0.5 + jnp.arctan2(x, -z) * m.InvTwoPi
+    u = jnp.arctan2(x, -z) * m.InvTwoPi
     u = u - jnp.floor(u)
     y = jnp.clip(y, -1.0, 1.0)
     v = jnp.arccos(y) * m.InvPi
@@ -83,9 +83,11 @@ def _env_dir_to_uv(scene, d):
 
 
 def _env_uv_to_dir(scene, u, v):
-    """Inverse of _env_dir_to_uv: (u, v) -> world direction + sin(theta)."""
+    """Inverse of _env_dir_to_uv: (u, v) -> world direction + sin(theta)
+    (envmap.cpp:43-47: phi = u * 2pi, d = (sin(phi) sin(theta), cos(theta),
+    -cos(phi) sin(theta)))."""
     theta = v * m.Pi
-    phi = (u - 0.5) * m.TwoPi
+    phi = u * m.TwoPi
     st = jnp.sin(theta)
     local = (st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi))
     R = scene.emitters.env_to_world
@@ -213,41 +215,25 @@ def _sample_area_emitter(scene, ei, ref_p, wavelengths, u2):
     cdf = em.face_cdf[ei]     # (Fmax,) — static row slice
     faces = em.face_global[ei]
 
-    # face pick by area CDF with sample reuse (distribution.h sample_reuse).
-    # Fmax is small; searchsorted over a tiny constant array lowers to a few
-    # compares — replicate it as an unrolled compare-sum (gather-free).
+    # face pick by area CDF with sample reuse (distribution.h sample_reuse):
+    # a single vectorized compare-count over the padded CDF row (one (Fmax, L)
+    # broadcast — no per-face Python unroll, trace size is O(1) in Fmax),
+    # then one one-hot fetch for the bracketing CDF values + face id.
     uy = u2[1]
     fmax = cdf.shape[0]
-    idx = jnp.zeros_like(uy, dtype=jnp.int32)
-    for k in range(min(fmax, 64)):
-        idx = idx + (uy > cdf[k]).astype(jnp.int32)
-    if fmax > 64:
-        # large emissive meshes: count-compares against the rest via a
-        # one-hot-free reduction (cdf rows broadcast in blocks)
-        for k in range(64, fmax):
-            idx = idx + (uy > cdf[k]).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, fmax - 1)
-    if fmax <= 64:
-        lo = jnp.zeros_like(uy)
-        hi = jnp.ones_like(uy)
-        prim = jnp.zeros_like(idx)
-        for k in range(fmax):
-            sel = idx == k
-            lo = jnp.where(sel, cdf[k - 1] if k > 0 else 0.0, lo)
-            hi = jnp.where(sel, cdf[k], hi)
-            prim = jnp.where(sel, faces[k], prim)
-    else:
-        rows = table.fetch(
-            jnp.stack(
-                [
-                    jnp.concatenate([jnp.zeros(1, cdf.dtype), cdf[:-1]]),
-                    cdf,
-                    faces.astype(jnp.float32),
-                ]
-            ),
-            idx,
-        )
-        lo, hi, prim = rows[0], rows[1], rows[2].astype(jnp.int32)
+    below = uy[None, :] > cdf[:, None]                      # (Fmax, L)
+    idx = jnp.clip(jnp.sum(below.astype(jnp.int32), 0), 0, fmax - 1)
+    rows = table.fetch(
+        jnp.stack(
+            [
+                jnp.concatenate([jnp.zeros(1, cdf.dtype), cdf[:-1]]),
+                cdf,
+                faces.astype(jnp.float32),
+            ]
+        ),
+        idx,
+    )
+    lo, hi, prim = rows[0], rows[1], rows[2].astype(jnp.int32)
     uy = jnp.clip((uy - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0 - 1e-7)
 
     b1, b2 = warp.square_to_uniform_triangle((u2[0], uy))

@@ -105,7 +105,22 @@ def render(
     chunk_size=DEFAULT_CHUNK,
     depth_cap=integ.DEFAULT_MAX_DEPTH_CAP,
 ):
-    """Render the scene; returns dict with the raw film and developed image."""
+    """Render the scene; returns dict with the raw film and developed image.
+    An `aov` integrator dispatches to the AOV driver (aov.cpp semantics) and
+    additionally returns {"aovs": {name: (H, W, C)}}."""
+    if scene.integrator == "aov":
+        from misaki_tpu.render.aov import render_aovs
+
+        out = render_aovs(
+            scene, seed=seed, chunk_size=chunk_size,
+            include_rgb=True, depth_cap=depth_cap,
+        )
+        return {
+            "film": None,
+            "rgb": jnp.asarray(out["rgb"]),
+            "alpha": jnp.asarray(out["alpha"]),
+            "aovs": out["aovs"],
+        }
     W, H, spp = scene.film_width, scene.film_height, scene.spp
     n_total = W * H * spp
     chunk = pick_chunk(chunk_size, spp, n_total)
@@ -124,8 +139,17 @@ def render(
             chunk,
             depth_cap,
         )
-    film = film_mod.film_from_flat(
+    film, rgb, alpha = develop_film(
         film_flat, H, W, scene.filter_type, scene.filter_stddev
     )
-    rgb, alpha = film_mod.develop(film)
     return {"film": film, "rgb": rgb, "alpha": alpha}
+
+
+@partial(jax.jit, static_argnames=("H", "W", "filter_type", "stddev"))
+def develop_film(film_flat, H, W, filter_type, stddev):
+    """film assembly + XYZ->sRGB development in ONE jit call: eager per-op
+    dispatch is expensive on tunneled TPU backends, and a frame's worth of
+    small eager ops would otherwise dominate short renders."""
+    film = film_mod.film_from_flat(film_flat, H, W, filter_type, stddev)
+    rgb, alpha = film_mod.develop(film)
+    return film, rgb, alpha

@@ -333,7 +333,12 @@ def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
         esc = ms["tr"] / jnp.maximum(ms["pdf"], 1e-30)[None, :]
         tp_surf = jnp.where(in_medium[None, :], throughput * esc, throughput)
 
-        show_emit = emitted_radiance & (~scene.hide_emitters | scattered)
+        # hide_emitters is a static Python bool — resolve it at trace time
+        # (`~bool` is deprecated and two's-complement-fragile)
+        show_emit = (
+            emitted_radiance if not scene.hide_emitters
+            else emitted_radiance & scattered
+        )
         # environment on miss (volpath.cpp:80-91); a lane inside a medium
         # that misses has infinite optical depth -> tr == 0 already via esc
         if scene.has_environment:

@@ -45,6 +45,10 @@ def compute_interaction(scene, hit, o, d, wavelengths, fd=None):
     prim = jnp.maximum(hit["prim"], 0)
     valid = hit["prim"] >= 0
     if fd is None:
+        # the Pallas cluster intersector returns the winner's face row
+        # in-kernel ("fd"); other accel paths fall back to the one-hot fetch
+        fd = hit.get("fd")
+    if fd is None:
         fd = fetch_face(scene, prim)
     b1 = hit["u"]
     b2 = hit["v"]

@@ -357,8 +357,21 @@ def _read_rgbe_hdr(path):
     out = np.zeros((H, W, 4), np.uint8)
     p = 0
     for y in range(H):
-        if W < 8 or W > 0x7FFF or buf[p] != 2 or buf[p + 1] != 2:
-            # flat (non-RLE) scanline
+        if p + 4 > len(buf):
+            raise ValueError("truncated HDR scanline data")
+        # new-style RLE header: (2, 2, hi, lo) with hi<<8|lo == W; a flat
+        # scanline whose first pixel happens to start with (2,2,...) is
+        # disambiguated by the width check
+        is_rle = (
+            8 <= W <= 0x7FFF
+            and buf[p] == 2 and buf[p + 1] == 2
+            and (int(buf[p + 2]) << 8 | int(buf[p + 3])) == W
+        )
+        if not is_rle:
+            if buf[p] == 1 and buf[p + 1] == 1 and buf[p + 2] == 1:
+                raise ValueError("old-style RLE .hdr scanlines unsupported")
+            if p + W * 4 > len(buf):
+                raise ValueError("truncated HDR scanline data")
             row = buf[p: p + W * 4].reshape(W, 4)
             out[y] = row
             p += W * 4
@@ -383,6 +396,35 @@ def _read_rgbe_hdr(path):
     return mant * scale[..., None]
 
 
+def read_image_rgb(path):
+    """Read an image file -> (H, W, 3) float32 *linear* RGB.
+
+    Branches on the stored dtype BEFORE any float cast: uint8 -> /255 +
+    sRGB decode, uint16 -> /65535 + sRGB decode, float -> linear as-is
+    (EXR/HDR-style payloads). Shared by envmap and bitmap-texture loading."""
+    path = Path(path)
+    if path.suffix.lower() == ".hdr":
+        return _read_rgbe_hdr(path)
+    import imageio.v3 as iio
+
+    raw = np.asarray(iio.imread(str(path)))
+    if raw.ndim == 2:
+        raw = np.repeat(raw[..., None], 3, -1)
+    raw = raw[..., :3]
+    if raw.dtype == np.uint8:
+        rgb = raw.astype(np.float32) / 255.0
+        srgb_encoded = True
+    elif raw.dtype == np.uint16:
+        rgb = raw.astype(np.float32) / 65535.0
+        srgb_encoded = True
+    else:
+        rgb = raw.astype(np.float32)
+        srgb_encoded = False
+    if srgb_encoded:
+        rgb = np.where(rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4)
+    return np.ascontiguousarray(rgb, np.float32)
+
+
 # Envmaps are fetched in-kernel with one-hot MXU matmuls (gather-free —
 # core/table.py), whose cost scales with He*We, so maps are box-downsampled
 # to this cap at compile time. Raise for quality, lower for speed.
@@ -396,28 +438,17 @@ def _load_envmap(obj, base_dir, max_res=ENV_MAX_RES):
     fname = obj["props"].get("filename")
     rgb = None
     if fname:
+        # missing/undecodable envmap files raise, matching the reference's
+        # Throw on load failure (envmap.cpp:18-19) — a typo'd filename must
+        # not silently render against a gray fallback
         path = Path(base_dir) / str(fname)
         try:
             if path.suffix.lower() == ".hdr":
                 rgb = _read_rgbe_hdr(path)
             else:
-                import imageio.v3 as iio
-
-                img = np.asarray(iio.imread(str(path)), np.float32)
-                if img.ndim == 2:
-                    img = np.repeat(img[..., None], 3, -1)
-                rgb = img[..., :3]
-                if img.dtype == np.uint8 or rgb.max() > 0 and path.suffix.lower() in (
-                    ".png", ".jpg", ".jpeg"
-                ):
-                    rgb = np.clip(rgb / 255.0 if rgb.max() > 1.001 else rgb, 0, None)
-                    rgb = np.where(
-                        rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
-                    )
+                rgb = read_image_rgb(path)
         except (OSError, ValueError) as e:
-            from misaki_tpu.utils.logging import get_logger
-
-            get_logger().warning("envmap %s unreadable (%s); using gray", fname, e)
+            raise ValueError(f"envmap: cannot load '{fname}': {e}") from e
     if rgb is None:
         rgb = np.full((1, 2, 3), 0.5, np.float32)
     rgb = rgb.astype(np.float64) * float(obj["props"].get("scale", 1.0))
@@ -808,17 +839,26 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         ),
     )
 
-    from misaki_tpu.accel.build import build_bvh
+    from misaki_tpu.accel.build import build_bvh, BRUTE_FORCE_THRESHOLD
+    from misaki_tpu.accel.cluster import build_clusters, empty_cluster_accel
 
-    # accel="brute" forces the gather-free block intersector even for large
-    # scenes (per-lane gathers hang on the axon TPU backend; the BVH path is
-    # for CPU/testing until the Pallas traversal kernel lands).
+    # Large scenes get BOTH accels: the cluster-BVH Pallas tables (the TPU
+    # production path, accel/cluster.py) and the BVH2 (CPU wavefront path).
+    # Small scenes use the single-block brute streamer on every backend.
+    # accel="brute" forces brute everywhere (testing).
     bvh = build_bvh(p0, e1, e2, force_brute=(accel == "brute"))
+    if accel != "brute" and F > BRUTE_FORCE_THRESHOLD:
+        # face_tab rides along in cluster order so the Pallas kernel can
+        # fetch the winning face's packed row in-kernel (no global one-hot)
+        cluster_acc = build_clusters(p0, e1, e2, face_tab=geom.face_tab)
+    else:
+        cluster_acc = empty_cluster_accel()
 
     ip = integ["props"]
     scene = CompiledScene(
         geometry=geom,
         bvh=bvh,
+        cluster=cluster_acc,
         materials=materials.finalize(),
         emitters=emitters,
         media=media,

@@ -207,6 +207,7 @@ class BVH:
 class CompiledScene:
     geometry: Geometry
     bvh: BVH
+    cluster: Any           # accel.cluster.ClusterAccel (TPU Pallas intersector)
     materials: MaterialTable
     emitters: EmitterTable
     media: MediumTable

@@ -1,0 +1,149 @@
+"""Cluster-BVH Pallas intersector tests (accel/cluster.py) — the Embree
+replacement's TPU path (reference scene.cpp:216-273). Runs in Pallas
+interpret mode on the CPU test backend; hardware execution is exercised by
+bench.py and the TPU render flows."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from misaki_tpu.accel import cluster as cl
+from misaki_tpu.accel import traverse as tr
+from misaki_tpu.scene.types import Geometry
+
+
+@pytest.fixture(scope="module")
+def soup():
+    """Random triangle soup + rays, with a brute-force oracle geometry."""
+    rng = np.random.default_rng(7)
+    F = 1500
+    p0 = rng.uniform(-1, 1, (F, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.1, 0.1, (F, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.1, 0.1, (F, 3)).astype(np.float32)
+    acc = cl.build_clusters(p0, e1, e2)
+
+    L = 600
+    o = tuple(jnp.asarray(rng.uniform(-2, 2, L).astype(np.float32)) for _ in range(3))
+    dn = rng.normal(size=(L, 3)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+    d = tuple(jnp.asarray(dn[:, k]) for k in range(3))
+
+    Fpad = -(-F // 128) * 128
+    pad = lambda a: np.pad(a, ((0, Fpad - F), (0, 0)))
+    geom = Geometry(
+        p0=jnp.asarray(pad(p0).T), e1=jnp.asarray(pad(e1).T),
+        e2=jnp.asarray(pad(e2).T), face_tab=jnp.zeros((1, Fpad)),
+    )
+    return acc, geom, o, d, F, L
+
+
+def test_build_invariants(soup):
+    acc, _, _, _, F, _ = soup
+    tri = np.asarray(acc.tri)
+    C = acc.n_clusters
+    assert tri.shape[0] == C
+    # every face appears exactly once across cluster slots
+    fids = tri[:, 9, :].reshape(-1)
+    fids = fids[fids >= 0].astype(np.int64)
+    assert len(fids) == F
+    assert np.array_equal(np.sort(fids), np.arange(F))
+    # cluster bounds contain their faces
+    b = np.asarray(acc.bounds)
+    for ci in range(C):
+        m = tri[ci, 9, :] >= 0
+        v0 = tri[ci, 0:3][:, m].T
+        v1 = v0 + tri[ci, 3:6][:, m].T
+        v2 = v0 + tri[ci, 6:9][:, m].T
+        lo = np.minimum(np.minimum(v0, v1), v2).min(axis=0)
+        hi = np.maximum(np.maximum(v0, v1), v2).max(axis=0)
+        assert (b[0:3, ci] <= lo + 1e-5).all()
+        assert (b[3:6, ci] >= hi - 1e-5).all()
+    # padded clusters are inverted boxes (never hit)
+    assert np.all(b[0:3, C:] == np.inf)
+    assert np.all(b[3:6, C:] == -np.inf)
+
+
+def test_closest_hit_matches_brute(soup):
+    acc, geom, o, d, F, L = soup
+    mint = jnp.full((L,), 1e-4)
+    maxt = jnp.full((L,), np.inf)
+    res = cl.intersect_clusters(acc, o, d, mint, maxt, interpret=True)
+    ref = tr.intersect_brute(geom, o, d, mint, maxt, F)
+    rp = np.asarray(ref["prim"])
+    cp = np.asarray(res["prim"])
+    assert ((rp >= 0) == (cp >= 0)).all()
+    both = rp >= 0
+    assert both.sum() > 30  # the soup must actually be hit
+    ref_t = np.asarray(ref["t"])
+    np.testing.assert_allclose(
+        np.asarray(res["t"])[both], ref_t[both], rtol=1e-4, atol=1e-5
+    )
+    assert (cp[both] == rp[both]).mean() > 0.99  # modulo exact-tie winners
+    # misses are encoded as t = inf
+    assert np.isinf(np.asarray(res["t"])[~both]).all()
+
+
+def test_fused_face_fetch(soup):
+    """The kernel's in-kernel face_tab fetch must return exactly the winning
+    face's packed row (zeros on miss)."""
+    _, geom, o, d, F, L = soup
+    rng = np.random.default_rng(11)
+    p0 = np.asarray(geom.p0).T[:F]
+    e1 = np.asarray(geom.e1).T[:F]
+    e2 = np.asarray(geom.e2).T[:F]
+    tab = rng.normal(size=(5, F)).astype(np.float32)
+    tab[0] = np.arange(F)  # identity row for an exact check
+    acc = cl.build_clusters(p0, e1, e2, face_tab=tab)
+    mint = jnp.full((L,), 1e-4)
+    maxt = jnp.full((L,), np.inf)
+    res = cl.intersect_clusters(acc, o, d, mint, maxt, interpret=True)
+    prim = np.asarray(res["prim"])
+    fd = np.asarray(res["fd"])
+    assert fd.shape == (5, L)
+    hitm = prim >= 0
+    np.testing.assert_allclose(fd[0][hitm], prim[hitm].astype(np.float32))
+    np.testing.assert_allclose(fd[:, hitm], tab[:, prim[hitm]], rtol=1e-6)
+    assert (fd[:, ~hitm] == 0).all()
+
+
+def test_anyhit_matches_brute(soup):
+    acc, geom, o, d, F, L = soup
+    mint = jnp.full((L,), 1e-4)
+    maxt = jnp.full((L,), 1.5)
+    occ = np.asarray(cl.ray_test_clusters(acc, o, d, mint, maxt, interpret=True))
+    ref = np.asarray(tr.ray_test_brute(geom, o, d, mint, maxt, F))
+    assert (occ == ref).all()
+
+
+def test_finite_maxt_clips(soup):
+    acc, _, o, d, _, L = soup
+    mint = jnp.full((L,), 1e-4)
+    res_far = cl.intersect_clusters(
+        acc, o, d, mint, jnp.full((L,), np.inf), interpret=True
+    )
+    tcap = 0.8
+    res_near = cl.intersect_clusters(
+        acc, o, d, mint, jnp.full((L,), tcap), interpret=True
+    )
+    t_far = np.asarray(res_far["t"])
+    t_near = np.asarray(res_near["t"])
+    keep = t_far <= tcap
+    np.testing.assert_allclose(t_near[keep], t_far[keep], rtol=1e-5)
+    assert np.isinf(t_near[~keep]).all()
+
+
+def test_scene_dispatch_builds_cluster_accel():
+    """compile_scene must attach a cluster accel for large scenes and an
+    empty one below the brute threshold."""
+    from misaki_tpu.scene.compiler import load_and_compile
+
+    scene = load_and_compile(
+        "/root/reference/assets/cbox/scene.xml", spp=1, width=8, height=8
+    )
+    assert scene.cluster.n_clusters == 0  # 36 faces -> brute
+
+    bunny = load_and_compile(
+        "/root/reference/assets/bunny/scene.xml", spp=1, width=8, height=8
+    )
+    assert bunny.cluster.n_clusters > 0
+    assert bunny.cluster.tri.shape[0] == bunny.cluster.n_clusters

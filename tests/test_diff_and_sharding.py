@@ -114,7 +114,16 @@ def test_sharded_render_matches_single_device(cbox_tiny):
     film_single = np.asarray(out["film"])
     mismatched = ~np.isclose(film_multi, film_single, rtol=1e-3, atol=1e-5)
     frac = mismatched.mean()
-    assert frac < 0.02, f"{mismatched.sum()} / {mismatched.size} texels differ"
+    # budget ~2.5x the empirically observed 0.2% of fp-sensitive lane flips;
+    # broader corruption (a bug touching >1 in 200 texels) must fail
+    assert frac < 0.005, f"{mismatched.sum()} / {mismatched.size} texels differ"
+    # ...and the mismatched texels themselves must stay sane in magnitude
+    # (an isolated branch flip changes a texel by one sample's contribution,
+    # not by orders of magnitude)
+    if mismatched.any():
+        scale = max(float(np.abs(film_single).max()), 1e-6)
+        max_err = float(np.abs(film_multi - film_single)[mismatched].max())
+        assert max_err <= 0.5 * scale, f"mismatch magnitude {max_err} vs scale {scale}"
     # aggregate radiance must agree tightly (a block-level bug would not)
     assert np.allclose(
         film_multi.sum(axis=(0, 1)), film_single.sum(axis=(0, 1)), rtol=1e-3

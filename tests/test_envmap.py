@@ -120,6 +120,37 @@ def test_uv_dir_roundtrip(env_scene):
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=1e-5)
 
 
+def test_env_absolute_orientation(env_scene):
+    """Absolute orientation lock against the reference convention
+    (envmap.cpp:43-47 / 65-67): a direction built as
+    d = (sin(u*2pi) sin(v*pi), cos(v*pi), -cos(u*2pi) sin(v*pi)) must look up
+    the texel at (u, v) — no 180-degree yaw offset. The bright patch in the
+    fixture sits at rows 3:6, cols 10:16 of the 16x32 map."""
+    scene, rgb_tex = env_scene
+    He, We = rgb_tex.shape[:2]
+    # center of the bright patch
+    i, j = 4, 12
+    u = (j + 0.5) / We
+    v = (i + 0.5) / He
+    theta, phi = v * np.pi, u * 2.0 * np.pi
+    d_ref = (
+        jnp.asarray([np.sin(phi) * np.sin(theta)], np.float32),
+        jnp.asarray([np.cos(theta)], np.float32),
+        jnp.asarray([-np.cos(phi) * np.sin(theta)], np.float32),
+    )
+    wav = jnp.full((4, 1), 550.0)
+    bright = float(ek._env_radiance_spec(scene, d_ref, wav).mean())
+    # the yaw-opposite direction must land in the dim background
+    d_opp = (-d_ref[0], d_ref[1], -d_ref[2])
+    dim = float(ek._env_radiance_spec(scene, d_opp, wav).mean())
+    assert bright > 5.0, bright     # patch radiance ~ 8 x 1.5 scale
+    assert dim < 1.0, dim
+    # and the uv mapping itself must invert to (u, v) exactly
+    u2, v2, _ = ek._env_dir_to_uv(scene, d_ref)
+    np.testing.assert_allclose(float(u2[0]), u, atol=1e-5)
+    np.testing.assert_allclose(float(v2[0]), v, atol=1e-5)
+
+
 def test_env_pdf_normalizes(env_scene):
     """MC over the uniform sphere: E[pdf_env / p_uniform] must be 1."""
     from misaki_tpu.core import warp
