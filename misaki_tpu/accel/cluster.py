@@ -53,7 +53,7 @@ class ClusterAccel:
     """Cluster-BVH device tables. Empty (C == 0) => not built."""
 
     bounds: Any   # (8, Cpad) f32 rows [lox loy loz hix hiy hiz 0 0]; pads +/-inf
-    tri: Any      # (C, 10, B) f32 rows [p0(3) e1(3) e2(3) fid(1)]; pad fid -1
+    tri: Any      # (C, B, 10) f32 cols [p0(3) e1(3) e2(3) fid(1)]; pad fid -1
     tab: Any      # (C, T, B) f32 — face_tab columns permuted to cluster order
     _static = ("n_clusters",)
     n_clusters: int = 0
@@ -62,7 +62,7 @@ class ClusterAccel:
 def empty_cluster_accel():
     return ClusterAccel(
         bounds=np.zeros((8, 0), np.float32),
-        tri=np.zeros((0, 10, CLUSTER_FACES), np.float32),
+        tri=np.zeros((0, CLUSTER_FACES, 10), np.float32),
         tab=np.zeros((0, 1, CLUSTER_FACES), np.float32),
         n_clusters=0,
     )
@@ -99,8 +99,11 @@ def build_clusters(p0, e1, e2, target=CLUSTER_FACES, face_tab=None):
 
     C = len(clusters)
     Cpad = max(-(-C // 128) * 128, 128)
-    tri = np.zeros((C, 10, target), np.float32)
-    tri[:, 9, :] = -1.0
+    # tri is stored faces-on-SUBLANES ((C, B, 10)): the kernel's work tiles
+    # are (B, R) — faces broadcast as (B, 1) columns straight off the block,
+    # no per-visit relayouts (a (C, 10, B) layout forced one per component)
+    tri = np.zeros((C, target, 10), np.float32)
+    tri[:, :, 9] = -1.0
     T = 1 if face_tab is None else face_tab.shape[0]
     tab = np.zeros((C, T, target), np.float32)
     bounds = np.empty((8, Cpad), np.float32)
@@ -109,10 +112,10 @@ def build_clusters(p0, e1, e2, target=CLUSTER_FACES, face_tab=None):
     bounds[6:8, :] = 0.0
     for ci, idx in enumerate(clusters):
         n = len(idx)
-        tri[ci, 0:3, :n] = v0[idx].T
-        tri[ci, 3:6, :n] = e1[idx].T
-        tri[ci, 6:9, :n] = e2[idx].T
-        tri[ci, 9, :n] = idx.astype(np.float32)   # exact to 2^24 faces
+        tri[ci, :n, 0:3] = v0[idx]
+        tri[ci, :n, 3:6] = e1[idx]
+        tri[ci, :n, 6:9] = e2[idx]
+        tri[ci, :n, 9] = idx.astype(np.float32)   # exact to 2^24 faces
         if face_tab is not None:
             tab[ci, :, :n] = np.asarray(face_tab)[:, idx]
         bounds[0:3, ci] = tri_lo[idx].min(axis=0)
@@ -138,15 +141,15 @@ def _cull_order(rays, bounds, n_clusters):
     """Vectorized (plain XLA, outside the kernel) cluster cull + front-to-back
     visit order for every R_TILE ray tile at once.
 
-    rays: (Lp, 8) tile-major; bounds: (8, Cpad). Returns
-    (order_t (Cpad, nt) i32 — sorted cluster ids per tile, column-major so
-    the kernel reads a (Cpad, 1) SMEM block — and count (1, nt) i32).
-    Doing this in XLA keeps the Pallas programs free of (C,1)-shaped vector
-    work, which lowers to near-scalar VPU code and dominated early kernels."""
-    nt = rays.shape[0] // R_TILE
-    rv = rays.reshape(nt, R_TILE, 8)
-    o = rv[..., 0:3]
-    inv = _safe_rcp(rv[..., 3:6])
+    rays: (8, Lp) lane-last tile-major; bounds: (8, Cpad). Returns
+    (order (MAX_VISITS, nt) i32 — sorted cluster ids per tile — and count
+    (1, nt) i32, negative => full scan). Doing this in XLA keeps the Pallas
+    programs free of (C,1)-shaped vector work, which lowers to near-scalar
+    VPU code and dominated early kernels."""
+    nt = rays.shape[1] // R_TILE
+    rv = rays.reshape(8, nt, R_TILE)
+    o = jnp.moveaxis(rv[0:3], 0, -1)                 # (nt, R, 3)
+    inv = _safe_rcp(jnp.moveaxis(rv[3:6], 0, -1))
     # per-tile ray frustum as component intervals — the test below is pure
     # interval arithmetic, (nt, Cpad)-sized, conservative (a superset of the
     # exact per-ray cull; extra visits only cost time, never correctness).
@@ -154,8 +157,8 @@ def _cull_order(rays, bounds, n_clusters):
     # (~300 MB per cast) — the interval form is ~1000x smaller.
     o_lo, o_hi = o.min(axis=1), o.max(axis=1)        # (nt, 3)
     i_lo, i_hi = inv.min(axis=1), inv.max(axis=1)
-    mint_lo = rv[..., 6].min(axis=1)[:, None]        # (nt, 1)
-    maxt_hi = rv[..., 7].max(axis=1)[:, None]
+    mint_lo = rv[6].min(axis=1)[:, None]             # (nt, 1)
+    maxt_hi = rv[7].max(axis=1)[:, None]
 
     tn_lower = jnp.broadcast_to(mint_lo, (nt, bounds.shape[1]))
     tf_upper = jnp.broadcast_to(maxt_hi, (nt, bounds.shape[1]))
@@ -193,21 +196,23 @@ def _cull_order(rays, bounds, n_clusters):
 
 
 def _ray_components(rays_ref):
+    """(8, R) block -> dict of (1, R) rows (rays live on the LANE axis)."""
     return dict(
-        ox=rays_ref[:, 0:1], oy=rays_ref[:, 1:2], oz=rays_ref[:, 2:3],
-        dx=rays_ref[:, 3:4], dy=rays_ref[:, 4:5], dz=rays_ref[:, 5:6],
-        mint=rays_ref[:, 6:7], maxt=rays_ref[:, 7:8],
+        ox=rays_ref[0:1, :], oy=rays_ref[1:2, :], oz=rays_ref[2:3, :],
+        dx=rays_ref[3:4, :], dy=rays_ref[4:5, :], dz=rays_ref[5:6, :],
+        mint=rays_ref[6:7, :], maxt=rays_ref[7:8, :],
     )
 
 
 def _mt_cluster(rays, blk, t_cap):
-    """Dense Moller-Trumbore of R rays against one cluster block.
+    """Dense Moller-Trumbore of R rays against one cluster block, in the
+    transposed orientation: faces on SUBLANES, rays on LANES.
 
-    rays: dict of (R, 1); blk: (10, B). Returns (t, u, v, hit) each (R, B);
-    t-range is [mint, t_cap (R,1)]."""
-    p0x, p0y, p0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]
-    e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
-    e2x, e2y, e2z = blk[6:7, :], blk[7:8, :], blk[8:9, :]
+    rays: dict of (1, R); blk: (B, 10). Returns (t, u, v, hit) each (B, R);
+    t-range is [mint, t_cap (1, R)]."""
+    p0x, p0y, p0z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+    e1x, e1y, e1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+    e2x, e2y, e2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
     dx, dy, dz = rays["dx"], rays["dy"], rays["dz"]
     ox, oy, oz = rays["ox"], rays["oy"], rays["oz"]
 
@@ -248,14 +253,11 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
     the O(L x F x T) global one-hot matmul that dominated large-scene frames.
     """
     rays = _ray_components(rays_ref)
-    R = rays["ox"].shape[0]
-    B = tri_ref.shape[2]
+    R = rays["ox"].shape[1]
     T = tab_ref.shape[1]
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(jnp.float32)
-    iota_bc = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).astype(jnp.float32)
     # cap at _BIG so "no hit in block" (tmin == _BIG) never commits
     t0 = jnp.minimum(rays["maxt"], _BIG)
-    z = jnp.zeros((R, 1), jnp.float32)
+    z = jnp.zeros((1, R), jnp.float32)
     init = (t0, z, z, z - 1.0, jnp.zeros((T, R), jnp.float32))
     r = pl_program_id()                        # this program's tile column
     n_raw = cnt_ref[0, r]
@@ -268,22 +270,21 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
         c = jnp.where(full, k, ord_ref[kk, r])
         c = jnp.minimum(c, C - 1)              # min() guards VMEM OOB (pads
         blk = tri_ref[c]                       # never reach here once culled)
-        fid = blk[9:10, :]
-        t, u, v, hit = _mt_cluster(rays, blk, t_b)
+        fid = blk[:, 9:10]                                 # (B, 1)
+        t, u, v, hit = _mt_cluster(rays, blk, t_b)         # (B, R)
         tm = jnp.where(hit & (fid >= 0.0), t, _BIG)
-        tmin = jnp.min(tm, axis=1, keepdims=True)          # (R, 1)
+        tmin = jnp.min(tm, axis=0, keepdims=True)          # (1, R)
         sel = tm <= tmin
-        fwin = jnp.max(jnp.where(sel, fid, -1.0), axis=1, keepdims=True)
-        sel2 = sel & (fid == fwin)
-        um = jnp.max(jnp.where(sel2, u, -_BIG), axis=1, keepdims=True)
-        vm = jnp.max(jnp.where(sel2, v, -_BIG), axis=1, keepdims=True)
-        sm = jnp.max(jnp.where(sel2, iota_b, -1.0), axis=1, keepdims=True)
-        take = tmin < t_b
-        take_row = take.reshape(1, R)
-        slot_row = sm.reshape(1, R)
-        onehot = ((iota_bc == slot_row) & take_row).astype(jnp.float32)
+        fwin = jnp.max(jnp.where(sel, fid, -1.0), axis=0, keepdims=True)
+        sel2 = sel & (fid == fwin)                         # (B, R) winner mask
+        um = jnp.max(jnp.where(sel2, u, -_BIG), axis=0, keepdims=True)
+        vm = jnp.max(jnp.where(sel2, v, -_BIG), axis=0, keepdims=True)
+        take = tmin < t_b                                  # (1, R)
+        # the winner mask doubles as the face-row fetch one-hot: one
+        # canonical (T, B) x (B, R) MXU matmul, zero relayouts
+        onehot = (sel2 & take).astype(jnp.float32)
         row = jax.lax.dot_general(
-            tab_ref[c], onehot,                            # (T,B) x (B,R)
+            tab_ref[c], onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -292,20 +293,21 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
             jnp.where(take, um, u_b),
             jnp.where(take, vm, v_b),
             jnp.where(take, fwin, f_b),
-            jnp.where(take_row, row, acc),
+            jnp.where(take, row, acc),
         )
 
     t_b, u_b, v_b, f_b, acc = jax.lax.fori_loop(0, n, body, init)
-    out_ref[:, 0:1] = jnp.where(f_b >= 0.0, t_b, _BIG)
-    out_ref[:, 1:2] = u_b
-    out_ref[:, 2:3] = v_b
-    out_ref[:, 3:4] = f_b
+    out_ref[0:1, :] = jnp.where(f_b >= 0.0, t_b, _BIG)
+    out_ref[1:2, :] = u_b
+    out_ref[2:3, :] = v_b
+    out_ref[3:4, :] = f_b
+    out_ref[4:8, :] = jnp.zeros((4, R), jnp.float32)
     face_ref[:, :] = acc
 
 
 def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, cnt_ref, out_ref):
     rays = _ray_components(rays_ref)
-    R = rays["ox"].shape[0]
+    R = rays["ox"].shape[1]
     r = pl_program_id()
     n_raw = cnt_ref[0, r]
     full = n_raw < 0
@@ -315,15 +317,16 @@ def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, cnt_ref, out_ref):
         kk = jnp.minimum(k, MAX_VISITS - 1)
         c = jnp.minimum(jnp.where(full, k, ord_ref[kk, r]), C - 1)
         blk = tri_ref[c]
-        fid = blk[9:10, :]
+        fid = blk[:, 9:10]
         _, _, _, hit = _mt_cluster(rays, blk, rays["maxt"])
         any_hit = jnp.max(
-            jnp.where(hit & (fid >= 0.0), 1.0, 0.0), axis=1, keepdims=True
+            jnp.where(hit & (fid >= 0.0), 1.0, 0.0), axis=0, keepdims=True
         )
         return jnp.maximum(occ, any_hit)
 
-    occ = jax.lax.fori_loop(0, n, body, jnp.zeros((R, 1), jnp.float32))
-    out_ref[:, 0:1] = occ
+    occ = jax.lax.fori_loop(0, n, body, jnp.zeros((1, R), jnp.float32))
+    out_ref[0:1, :] = occ
+    out_ref[1:8, :] = jnp.zeros((7, R), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -359,43 +362,36 @@ class _Swizzle:
         self.Lp = self.rows_p * self.cols_p
 
     def fwd(self, rays):
-        """(L, 8) lane-major -> (Lp, 8) tile-major (pads: maxt = -1)."""
-        r = rays.reshape(self.rows, self.cols, 8)
+        """(8, L) lane-last -> (8, Lp) tile-major (pads: maxt = -1)."""
+        r = rays.reshape(8, self.rows, self.cols)
         pr, pc = self.rows_p - self.rows, self.cols_p - self.cols
         if pr or pc:
             # pad rays: o=d=0, mint=0, maxt=-1 — guaranteed slab/MT miss
-            body = jnp.pad(r[..., :7], ((0, pr), (0, pc), (0, 0)))
-            mx = jnp.pad(r[..., 7:], ((0, pr), (0, pc), (0, 0)),
+            body = jnp.pad(r[:7], ((0, 0), (0, pr), (0, pc)))
+            mx = jnp.pad(r[7:], ((0, 0), (0, pr), (0, pc)),
                          constant_values=-1.0)
-            r = jnp.concatenate([body, mx], axis=-1)
+            r = jnp.concatenate([body, mx], axis=0)
         r = r.reshape(
-            self.rows_p // TILE_PX, TILE_PX, self.cols_p // self.tcw, self.tcw, 8
+            8, self.rows_p // TILE_PX, TILE_PX, self.cols_p // self.tcw, self.tcw
         )
-        return jnp.transpose(r, (0, 2, 1, 3, 4)).reshape(self.Lp, 8)
-
-    def inv_rows(self, x, L):
-        """(Lp, K) tile-major -> (L, K) lane-major."""
-        K = x.shape[1]
-        x = x.reshape(
-            self.rows_p // TILE_PX, self.cols_p // self.tcw, TILE_PX, self.tcw, K
-        )
-        x = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(self.rows_p, self.cols_p, K)
-        return x[: self.rows, : self.cols].reshape(self.rows * self.cols, K)[:L]
+        return jnp.transpose(r, (0, 1, 3, 2, 4)).reshape(8, self.Lp)
 
     def inv_cols(self, x, L):
-        """(T, Lp) tile-major -> (T, L) lane-major."""
-        T = x.shape[0]
+        """(K, Lp) tile-major -> (K, L) lane-last."""
+        K = x.shape[0]
         x = x.reshape(
-            T, self.rows_p // TILE_PX, self.cols_p // self.tcw, TILE_PX, self.tcw
+            K, self.rows_p // TILE_PX, self.cols_p // self.tcw, TILE_PX, self.tcw
         )
-        x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(T, self.rows_p, self.cols_p)
-        return x[:, : self.rows, : self.cols].reshape(T, self.rows * self.cols)[:, :L]
+        x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(K, self.rows_p, self.cols_p)
+        return x[:, : self.rows, : self.cols].reshape(K, self.rows * self.cols)[:, :L]
 
 
 def _pack_rays(o, d, mint, maxt, image_cols=None, spp=1):
+    """Components -> (8, Lp) lane-last ray matrix (a plain row stack: no
+    relayout — every component is already a contiguous (L,) lane vector)."""
     L = o[0].shape[0]
     rays = jnp.stack(
-        [o[0], o[1], o[2], d[0], d[1], d[2], mint, maxt], axis=1
+        [o[0], o[1], o[2], d[0], d[1], d[2], mint, maxt], axis=0
     ).astype(jnp.float32)
     sw = _Swizzle(L, image_cols, spp)
     if sw.ok:
@@ -406,9 +402,9 @@ def _pack_rays(o, d, mint, maxt, image_cols=None, spp=1):
         Lp0 = L
     Lp = -(-Lp0 // R_TILE) * R_TILE
     if Lp != Lp0:
-        pad = jnp.zeros((Lp - Lp0, 8), jnp.float32)
-        pad = pad.at[:, 7].set(-1.0)  # maxt < mint: padded rays hit nothing
-        rays = jnp.concatenate([rays, pad], axis=0)
+        pad = jnp.zeros((8, Lp - Lp0), jnp.float32)
+        pad = pad.at[7, :].set(-1.0)  # maxt < mint: padded rays hit nothing
+        rays = jnp.concatenate([rays, pad], axis=1)
     return rays, L, Lp, sw
 
 
@@ -424,7 +420,7 @@ def _common_specs(acc, Lp):
 
     Cpad = acc.bounds.shape[1]
     in_specs = [
-        pl.BlockSpec((R_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # tri table
     ]
     # visit schedule: full arrays in SMEM — scalar loads there have no
@@ -452,15 +448,15 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
     out, face = pl.pallas_call(
         partial(_closest_kernel, acc.n_clusters),
         out_shape=(
-            jax.ShapeDtypeStruct((Lp, 4), jnp.float32),
-            jax.ShapeDtypeStruct((T, Lp), jnp.float32),   # lane-last like the
-        ),                                                # rest of the engine
+            jax.ShapeDtypeStruct((8, Lp), jnp.float32),   # lane-last like the
+            jax.ShapeDtypeStruct((T, Lp), jnp.float32),   # rest of the engine
+        ),
         grid=grid,
         in_specs=in_specs
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]         # face table
         + sched_specs,
         out_specs=(
-            pl.BlockSpec((R_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         # geometry + face tables resident in VMEM: the default 16 MB scoped
@@ -469,17 +465,17 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
         interpret=interpret,
     )(rays, jnp.asarray(acc.tri), jnp.asarray(acc.tab), order_t, count)
     if sw is not None:
-        out = sw.inv_rows(out[: sw.Lp], L)
+        out = sw.inv_cols(out[:, : sw.Lp], L)
         face = sw.inv_cols(face[:, : sw.Lp], L)
     else:
-        out, face = out[:L], face[:, :L]
-    t = out[:, 0]
-    prim = out[:, 3].astype(jnp.int32)
+        out, face = out[:, :L], face[:, :L]
+    t = out[0]
+    prim = out[3].astype(jnp.int32)
     return {
         "t": jnp.where(prim >= 0, t, jnp.inf),
         "prim": prim,
-        "u": out[:, 1],
-        "v": out[:, 2],
+        "u": out[1],
+        "v": out[2],
         "fd": face,
     }
 
@@ -493,17 +489,17 @@ def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
     pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
     out = pl.pallas_call(
         partial(_anyhit_kernel, acc.n_clusters),
-        out_shape=jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, Lp), jnp.float32),
         grid=grid,
         in_specs=in_specs + sched_specs,
         out_specs=pl.BlockSpec(
-            (R_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (8, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(rays, jnp.asarray(acc.tri), order_t, count)
     if sw is not None:
-        out = sw.inv_rows(out[: sw.Lp], L)
+        out = sw.inv_cols(out[:, : sw.Lp], L)
     else:
-        out = out[:L]
-    return out[:, 0] > 0.5
+        out = out[:, :L]
+    return out[0] > 0.5

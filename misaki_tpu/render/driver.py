@@ -64,6 +64,8 @@ def _render_chunk(scene, film_flat, lane0, n_total, seed, chunk, depth_cap):
     else:
         if scene.integrator == "volpath":
             L_spec, state = integ.sample_volpath(scene, ray, state, depth_cap)
+        elif scene.integrator == "direct":
+            L_spec, state = integ.sample_direct(scene, ray, state)
         else:
             L_spec, state = integ.sample_path(scene, ray, state, depth_cap)
         L_spec = L_spec * ray["wav_weight"]

@@ -455,6 +455,110 @@ def sample_aovs(scene, ray, rng_state):
     }, rng_state
 
 
+def sample_direct(scene, ray, rng_state):
+    """The `direct` integrator (integrators/direct.cpp:82-137): direct
+    illumination only, with m light samples + n BSDF samples combined by the
+    sample-count-weighted power-2 MIS heuristic (direct.cpp:104-110/127-131).
+
+    A cheap MIS cross-check against `path` at max_depth=2 (the estimators
+    differ — fractional MIS weights — but converge to the same image)."""
+    L = ray["o"][0].shape[0]
+    wavelengths = ray["wavelengths"]
+    n_lum = max(scene.direct_light_samples, 1)
+    n_bsdf = max(scene.direct_bsdf_samples, 1)
+    frac_lum = n_lum / (n_lum + n_bsdf)
+    frac_bsdf = n_bsdf / (n_lum + n_bsdf)
+    w_lum, w_bsdf = 1.0 / n_lum, 1.0 / n_bsdf
+
+    hit = traverse.intersect(scene, ray["o"], ray["d"], ray["mint"], ray["maxt"])
+    si = inter.compute_interaction(scene, hit, ray["o"], ray["d"], wavelengths)
+    result = jnp.zeros((4, L))
+
+    # directly visible emitters / environment (direct.cpp:89-94)
+    if not scene.hide_emitters:
+        if scene.has_environment:
+            env = emitter.eval_environment(scene, ray["d"], wavelengths)
+            result = result + jnp.where((~si["valid"])[None, :], env, 0.0)
+        em_val = emitter.eval_emitter(
+            scene, si["emitter"], si["wi"], si["uv"], wavelengths
+        )
+        result = result + jnp.where(si["valid"][None, :], em_val, 0.0)
+
+    active = si["valid"]
+    p = bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths)
+    sh_mint = m.RayEpsilon * (1.0 + vec.max_abs(si["p"]))
+
+    # ---- light sampling (direct.cpp:97-113), gated on Smooth lobes ----
+    for _ in range(n_lum):
+        u_nee, rng_state = rng.next_2d(rng_state)
+        ds = emitter.sample_emitter_direct(scene, si["p"], wavelengths, u_nee)
+        possible = active & p["smooth"] & (ds["pdf"] > 0.0)
+        occluded = traverse.ray_test(
+            scene, si["p"], ds["d"],
+            jnp.where(possible, sh_mint, 0.0),
+            jnp.where(possible, ds["dist"] * (1.0 - m.ShadowEpsilon), -1.0),
+        )
+        wo_nee = frame.to_local(si["sh"], ds["d"])
+        f_nee = bsdf.eval_bsdf(p, si["wi"], wo_nee)
+        pdf_b = bsdf.pdf_bsdf(p, si["wi"], wo_nee)
+        mis = jnp.where(
+            ds["delta"], 1.0,
+            m.mis_power2(ds["pdf"] * frac_lum, pdf_b * frac_bsdf),
+        ) * w_lum
+        take = possible & ~occluded
+        result = result + jnp.where(
+            take[None, :], ds["spec"] * f_nee * mis[None, :], 0.0
+        )
+
+    # ---- BSDF sampling (direct.cpp:116-136) ----
+    for _ in range(n_bsdf):
+        u1, rng_state = rng.next_float32(rng_state)
+        u2, rng_state = rng.next_2d(rng_state)
+        bs = bsdf.sample_bsdf(p, si["wi"], u1, u2)
+        wo_world = frame.to_world(si["sh"], bs["wo"])
+        go = active & bs["valid"]
+        hit2 = traverse.intersect(
+            scene, si["p"], wo_world,
+            jnp.where(go, inter.spawn_ray_mint(si["p"]), 0.0),
+            jnp.where(go, jnp.inf, -1.0),
+        )
+        si2 = inter.compute_interaction(scene, hit2, si["p"], wo_world, wavelengths)
+        hit_area = si2["valid"] & (si2["emitter"] >= 0)
+        value = jnp.where(
+            hit_area[None, :],
+            emitter.eval_emitter(
+                scene, si2["emitter"], si2["wi"], si2["uv"], wavelengths
+            ),
+            0.0,
+        )
+        em_pdf = jnp.where(
+            hit_area,
+            emitter.pdf_emitter_direct(
+                scene, si2["emitter"], wo_world, si2["t"], si2["ng"]
+            ),
+            0.0,
+        )
+        if scene.has_environment:
+            hit_env = ~si2["valid"]
+            env_val = emitter.eval_environment(scene, wo_world, wavelengths)
+            value = jnp.where(hit_env[None, :], env_val, value)
+            env_ids = jnp.full((L,), scene.environment_idx, jnp.int32)
+            env_pdf = emitter.pdf_emitter_direct(
+                scene, env_ids, wo_world, si2["t"], vec.neg(wo_world)
+            )
+            em_pdf = jnp.where(hit_env, env_pdf, em_pdf)
+            hit_em = hit_area | hit_env
+        else:
+            hit_em = hit_area
+        em_pdf = jnp.where(bs["delta"], 0.0, em_pdf)
+        mis = m.mis_power2(bs["pdf"] * frac_bsdf, em_pdf * frac_lum) * w_bsdf
+        result = result + jnp.where(
+            (go & hit_em)[None, :], bs["weight"] * value * mis[None, :], 0.0
+        )
+
+    return result, rng_state
+
+
 def sample_debug(scene, ray, rng_state):
     """The `debug` integrator (integrators/debug.cpp): |shading normal| as
     color. Used by the bunny intersection-rate benchmark."""

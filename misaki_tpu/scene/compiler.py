@@ -884,6 +884,8 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         environment_idx=env_idx,
         emitter_kinds=tuple(int(k) for k in em_kind),
         aovs=tuple(ip.get("aovs", "").split(",")) if ip.get("aovs") else (),
+        direct_light_samples=int(ip.get("light_samples", 1)),
+        direct_bsdf_samples=int(ip.get("bsdf_samples", 1)),
     )
     return scene
 

@@ -234,8 +234,13 @@ class CompiledScene:
     environment_idx: int   # emitter index of the env light (-1 = none)
     emitter_kinds: tuple   # static per-emitter kind ints (EM_*) for unrolling
     aovs: tuple            # aov integrator channel spec
+    # direct integrator sample counts (integrators/direct.cpp:21-27)
+    direct_light_samples: int = 1
+    direct_bsdf_samples: int = 1
 
     _static = (
+        "direct_light_samples",
+        "direct_bsdf_samples",
         "film_width",
         "film_height",
         "spp",

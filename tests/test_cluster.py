@@ -39,21 +39,21 @@ def soup():
 
 def test_build_invariants(soup):
     acc, _, _, _, F, _ = soup
-    tri = np.asarray(acc.tri)
+    tri = np.asarray(acc.tri)   # (C, B, 10)
     C = acc.n_clusters
     assert tri.shape[0] == C
     # every face appears exactly once across cluster slots
-    fids = tri[:, 9, :].reshape(-1)
+    fids = tri[:, :, 9].reshape(-1)
     fids = fids[fids >= 0].astype(np.int64)
     assert len(fids) == F
     assert np.array_equal(np.sort(fids), np.arange(F))
     # cluster bounds contain their faces
     b = np.asarray(acc.bounds)
     for ci in range(C):
-        m = tri[ci, 9, :] >= 0
-        v0 = tri[ci, 0:3][:, m].T
-        v1 = v0 + tri[ci, 3:6][:, m].T
-        v2 = v0 + tri[ci, 6:9][:, m].T
+        m = tri[ci, :, 9] >= 0
+        v0 = tri[ci, m, 0:3]
+        v1 = v0 + tri[ci, m, 3:6]
+        v2 = v0 + tri[ci, m, 6:9]
         lo = np.minimum(np.minimum(v0, v1), v2).min(axis=0)
         hi = np.maximum(np.maximum(v0, v1), v2).max(axis=0)
         assert (b[0:3, ci] <= lo + 1e-5).all()
