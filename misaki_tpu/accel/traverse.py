@@ -29,17 +29,26 @@ STACK_DEPTH = 48
 FACE_BLOCK = 128
 
 
-def _mt_block(ox, oy, oz, dx, dy, dz, p0, e1, e2, mint, maxt):
-    """Möller–Trumbore of L rays against one face block.
+def _face_block(geom, b):
+    s = b * FACE_BLOCK
+    p0 = tuple(jax.lax.dynamic_slice(geom.p0[k], (s,), (FACE_BLOCK,)) for k in range(3))
+    e1 = tuple(jax.lax.dynamic_slice(geom.e1[k], (s,), (FACE_BLOCK,)) for k in range(3))
+    e2 = tuple(jax.lax.dynamic_slice(geom.e2[k], (s,), (FACE_BLOCK,)) for k in range(3))
+    return p0, e1, e2
 
-    Rays: (L,) components (broadcast as (L, 1)); faces: (3, B) component rows
-    (broadcast as (1, B)). Returns (t, u, v, hit) each (L, B).
+
+def _mt_block_t(ox, oy, oz, dx, dy, dz, p0, e1, e2, mint, maxt):
+    """Möller–Trumbore in the transposed orientation: faces on SUBLANES,
+    rays on LANES (same layout as the Pallas cluster kernel).
+
+    Rays: (L,) components (broadcast as (1, L)); faces: (3, B) rows
+    (broadcast as (B, 1)). Returns (t, u, v, hit) each (B, L).
     """
-    p0x, p0y, p0z = p0[0][None, :], p0[1][None, :], p0[2][None, :]
-    e1x, e1y, e1z = e1[0][None, :], e1[1][None, :], e1[2][None, :]
-    e2x, e2y, e2z = e2[0][None, :], e2[1][None, :], e2[2][None, :]
-    ox, oy, oz = ox[:, None], oy[:, None], oz[:, None]
-    dx, dy, dz = dx[:, None], dy[:, None], dz[:, None]
+    p0x, p0y, p0z = p0[0][:, None], p0[1][:, None], p0[2][:, None]
+    e1x, e1y, e1z = e1[0][:, None], e1[1][:, None], e1[2][:, None]
+    e2x, e2y, e2z = e2[0][:, None], e2[1][:, None], e2[2][:, None]
+    ox, oy, oz = ox[None, :], oy[None, :], oz[None, :]
+    dx, dy, dz = dx[None, :], dy[None, :], dz[None, :]
 
     pvx = dy * e2z - dz * e2y
     pvy = dz * e2x - dx * e2z
@@ -60,64 +69,82 @@ def _mt_block(ox, oy, oz, dx, dy, dz, p0, e1, e2, mint, maxt):
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
-        & (t >= mint[:, None])
-        & (t <= maxt[:, None])
+        & (t >= mint[None, :])
+        & (t <= maxt[None, :])
     )
     return t, u, v, hit
 
 
-def _face_block(geom, b):
-    s = b * FACE_BLOCK
-    p0 = tuple(jax.lax.dynamic_slice(geom.p0[k], (s,), (FACE_BLOCK,)) for k in range(3))
-    e1 = tuple(jax.lax.dynamic_slice(geom.e1[k], (s,), (FACE_BLOCK,)) for k in range(3))
-    e2 = tuple(jax.lax.dynamic_slice(geom.e2[k], (s,), (FACE_BLOCK,)) for k in range(3))
-    return p0, e1, e2
+def intersect_brute(geom, o, d, mint, maxt, n_faces, face_tab=None):
+    """Closest hit over all faces; o/d are vec3 tuples of (L,).
 
-
-def intersect_brute(geom, o, d, mint, maxt, n_faces):
-    """Closest hit over all faces; o/d are vec3 tuples of (L,)."""
+    With `face_tab` (T, Fpad) given, also returns "fd" (T, L): the winner's
+    packed face row, accumulated with one (T, B) x (B, L) MXU matmul on the
+    already-materialized winner mask — this replaces the global one-hot
+    fetch in compute_interaction (which re-built a (Fpad, L) one-hot from
+    scratch, ~512 MB of HBM traffic per bounce at 1M lanes). Miss lanes get
+    an all-zero row (same convention as the Pallas cluster kernel)."""
     Fpad = geom.p0.shape[-1]
     n_blocks = Fpad // FACE_BLOCK
     L = o[0].shape[0]
     ox, oy, oz = o
     dx, dy, dz = d
+    T = 0 if face_tab is None else face_tab.shape[0]
 
     init = (
         jnp.full((L,), jnp.inf),
         jnp.full((L,), -1, jnp.int32),
         jnp.zeros((L,)),
         jnp.zeros((L,)),
+        jnp.zeros((T, L)),
     )
 
     def body(b, carry):
-        t_best, prim_best, u_best, v_best = carry
+        t_best, prim_best, u_best, v_best, fd_best = carry
         p0, e1, e2 = _face_block(geom, b)
-        t, u, v, hit = _mt_block(ox, oy, oz, dx, dy, dz, p0, e1, e2, mint, maxt)
+        t, u, v, hit = _mt_block_t(ox, oy, oz, dx, dy, dz, p0, e1, e2,
+                                   mint, maxt)
         face_ids = b * FACE_BLOCK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, FACE_BLOCK), 1
+            jnp.int32, (FACE_BLOCK, 1), 0
         )
         # gather-free winner select (t[lane, argmin] is a per-lane gather —
         # pathological on this backend): min-reduce, then masked-max the
         # winner's attributes with a face-id tie-break
         t = jnp.where(hit & (face_ids < n_faces), t, jnp.inf)
-        t_blk = jnp.min(t, axis=-1)                       # (L,)
-        sel = t <= t_blk[:, None]
-        fwin = jnp.max(jnp.where(sel, face_ids, -1), axis=-1)
-        sel2 = sel & (face_ids == fwin[:, None])
-        u_blk = jnp.max(jnp.where(sel2, u, -jnp.inf), axis=-1)
-        v_blk = jnp.max(jnp.where(sel2, v, -jnp.inf), axis=-1)
+        t_blk = jnp.min(t, axis=0)                        # (L,)
+        sel = t <= t_blk[None, :]
+        fwin = jnp.max(jnp.where(sel, face_ids, -1), axis=0)
+        sel2 = sel & (face_ids == fwin[None, :])
+        u_blk = jnp.max(jnp.where(sel2, u, -jnp.inf), axis=0)
+        v_blk = jnp.max(jnp.where(sel2, v, -jnp.inf), axis=0)
         closer = t_blk < t_best
         t_best = jnp.where(closer, t_blk, t_best)
         prim_best = jnp.where(closer, fwin, prim_best)
         u_best = jnp.where(closer, u_blk, u_best)
         v_best = jnp.where(closer, v_blk, v_best)
-        return t_best, prim_best, u_best, v_best
+        if face_tab is not None:
+            tab_blk = jax.lax.dynamic_slice(
+                face_tab, (0, b * FACE_BLOCK), (T, FACE_BLOCK)
+            )
+            onehot = (sel2 & closer[None, :]).astype(jnp.float32)
+            fd_blk = jax.lax.dot_general(
+                tab_blk, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            fd_best = jnp.where(closer[None, :], fd_blk, fd_best)
+        return t_best, prim_best, u_best, v_best, fd_best
 
     if n_blocks == 1:
-        t_best, prim_best, u_best, v_best = body(0, init)
+        t_best, prim_best, u_best, v_best, fd_best = body(0, init)
     else:
-        t_best, prim_best, u_best, v_best = jax.lax.fori_loop(0, n_blocks, body, init)
-    return {"t": t_best, "prim": prim_best, "u": u_best, "v": v_best}
+        t_best, prim_best, u_best, v_best, fd_best = jax.lax.fori_loop(
+            0, n_blocks, body, init
+        )
+    out = {"t": t_best, "prim": prim_best, "u": u_best, "v": v_best}
+    if face_tab is not None:
+        out["fd"] = fd_best
+    return out
 
 
 def ray_test_brute(geom, o, d, mint, maxt, n_faces):
@@ -130,11 +157,12 @@ def ray_test_brute(geom, o, d, mint, maxt, n_faces):
 
     def body(b, occluded):
         p0, e1, e2 = _face_block(geom, b)
-        _, _, _, hit = _mt_block(ox, oy, oz, dx, dy, dz, p0, e1, e2, mint, maxt)
+        _, _, _, hit = _mt_block_t(ox, oy, oz, dx, dy, dz, p0, e1, e2,
+                                   mint, maxt)
         face_ids = b * FACE_BLOCK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, FACE_BLOCK), 1
+            jnp.int32, (FACE_BLOCK, 1), 0
         )
-        return occluded | jnp.any(hit & (face_ids < n_faces), axis=-1)
+        return occluded | jnp.any(hit & (face_ids < n_faces), axis=0)
 
     init = jnp.zeros((L,), bool)
     if n_blocks == 1:
@@ -325,7 +353,8 @@ def intersect(scene, o, d, mint, maxt):
             image_cols=scene.film_width * scene.spp, spp=scene.spp,
         )
     elif scene.bvh.node_lo.shape[0] == 0:
-        res = intersect_brute(scene.geometry, o, d, mint, maxt, scene.n_faces)
+        res = intersect_brute(scene.geometry, o, d, mint, maxt, scene.n_faces,
+                              face_tab=scene.geometry.face_tab)
         res["t"] = jnp.where(res["prim"] >= 0, res["t"], jnp.inf)
     else:
         res = intersect_bvh(scene.bvh, scene.geometry, o, d, mint, maxt)

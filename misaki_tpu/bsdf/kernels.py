@@ -74,47 +74,76 @@ def is_smooth_kind(kind):
     )
 
 
+ALL_KINDS = (
+    BSDF_DIFFUSE, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
+    BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_NULL,
+)
+
+
 def material_params(scene, ids, uv, wavelengths):
     """ONE one-hot fetch of all packed material columns, then pure VPU
     slot evaluation (render/textures.py). Returns the per-lane param dict
-    shared by sample/eval/pdf for the bounce."""
+    shared by sample/eval/pdf for the bounce.
+
+    Trace-time pruning: `scene.bsdf_kinds` (static) gates which parameter
+    groups are evaluated — an all-diffuse scene never computes conductor
+    Fresnel spectra or microfacet alphas (measured ~20% of the cbox bounce
+    kernel before pruning, tools/profile_stages.py)."""
+    kinds = getattr(scene, "bsdf_kinds", ALL_KINDS)
+    has_microfacet = (BSDF_ROUGH_CONDUCTOR in kinds
+                      or BSDF_ROUGH_DIELECTRIC in kinds)
+    has_conductor = BSDF_ROUGH_CONDUCTOR in kinds or BSDF_CONDUCTOR in kinds
+    has_specular = has_conductor or (BSDF_ROUGH_DIELECTRIC in kinds
+                                     or BSDF_DIELECTRIC in kinds)
+    has_transmission = (BSDF_ROUGH_DIELECTRIC in kinds
+                        or BSDF_DIELECTRIC in kinds)
+    L = ids.shape[0]
+    zero_spec = jnp.zeros((4, L))
+
     cols = table.fetch(scene.materials.params, ids)  # (N_MAT_COLS, L)
     kind = cols[MC_KIND].astype(jnp.int32)
     eta_rgb = (cols[MC_ETA_RGB], cols[MC_ETA_RGB + 1], cols[MC_ETA_RGB + 2])
     k_rgb = (cols[MC_K_RGB], cols[MC_K_RGB + 1], cols[MC_K_RGB + 2])
-    return {
-        "kind": kind,
-        "twosided": cols[MC_TWOSIDED] > 0.5,
-        "distr": cols[MC_DISTR].astype(jnp.int32),
-        "reflectance": tex.eval_spectral_slot(
-            cols[MC_REFL : MC_REFL + SPEC_SLOT_COLS], uv, wavelengths
-        ),
-        "spec_refl": tex.eval_spectral_slot(
-            cols[MC_SPEC_REFL : MC_SPEC_REFL + SPEC_SLOT_COLS], uv, wavelengths
-        ),
-        "spec_trans": tex.eval_spectral_slot(
-            cols[MC_SPEC_TRANS : MC_SPEC_TRANS + SPEC_SLOT_COLS], uv, wavelengths
-        ),
+
+    def scalar_slot(base):
         # Roughness is detached in round 1: correct alpha derivatives need
         # reparameterized microfacet sampling, and the raw chain (~1/alpha^3
         # at the 1e-4 clamp) overflows float32 cotangents into inf/NaN.
-        "alpha_u": jax.lax.stop_gradient(
+        return jax.lax.stop_gradient(
             microfacet.clamp_alpha(
-                tex.eval_scalar_slot(
-                    cols[MC_ALPHA_U : MC_ALPHA_U + SCALAR_SLOT_COLS], uv
-                )
+                tex.eval_scalar_slot(cols[base : base + SCALAR_SLOT_COLS], uv)
             )
+        )
+
+    return {
+        "kind": kind,
+        "kinds": kinds,
+        "twosided": cols[MC_TWOSIDED] > 0.5,
+        "distr": cols[MC_DISTR].astype(jnp.int32),
+        "reflectance": (
+            tex.eval_spectral_slot(
+                cols[MC_REFL : MC_REFL + SPEC_SLOT_COLS], uv, wavelengths
+            ) if BSDF_DIFFUSE in kinds else zero_spec
         ),
-        "alpha_v": jax.lax.stop_gradient(
-            microfacet.clamp_alpha(
-                tex.eval_scalar_slot(
-                    cols[MC_ALPHA_V : MC_ALPHA_V + SCALAR_SLOT_COLS], uv
-                )
-            )
+        "spec_refl": (
+            tex.eval_spectral_slot(
+                cols[MC_SPEC_REFL : MC_SPEC_REFL + SPEC_SLOT_COLS],
+                uv, wavelengths,
+            ) if has_specular else zero_spec
         ),
+        "spec_trans": (
+            tex.eval_spectral_slot(
+                cols[MC_SPEC_TRANS : MC_SPEC_TRANS + SPEC_SLOT_COLS],
+                uv, wavelengths,
+            ) if has_transmission else zero_spec
+        ),
+        "alpha_u": scalar_slot(MC_ALPHA_U) if has_microfacet else jnp.zeros(L),
+        "alpha_v": scalar_slot(MC_ALPHA_V) if has_microfacet else jnp.zeros(L),
         "eta": cols[MC_ETA],
-        "eta_spec": rgb_to_spectral(eta_rgb, wavelengths),
-        "k_spec": rgb_to_spectral(k_rgb, wavelengths),
+        "eta_spec": (rgb_to_spectral(eta_rgb, wavelengths)
+                     if has_conductor else zero_spec),
+        "k_spec": (rgb_to_spectral(k_rgb, wavelengths)
+                   if has_conductor else zero_spec),
         "smooth": is_smooth_kind(kind),
     }
 
@@ -327,33 +356,38 @@ def _sample_conductor(p, wi):
 
 def eval_bsdf(p, wi, wo):
     """f * cos_theta_o per lane (4, L). Delta kinds return 0 (bsdf.h).
-    p: prefetched `material_params` dict for the bounce."""
+    p: prefetched `material_params` dict for the bounce; models whose kind
+    is absent from p["kinds"] (static) are pruned at trace time."""
+    kinds = p.get("kinds", ALL_KINDS)
     flip = p["twosided"] & (frame.cos_theta(wi) < 0.0)
     wi = _flip_z(wi, flip)
     wo = _flip_z(wo, flip)
     kind = p["kind"]
-    out = jnp.where((kind == BSDF_DIFFUSE)[None, :], _eval_diffuse(p, wi, wo), 0.0)
-    out = jnp.where(
-        (kind == BSDF_ROUGH_CONDUCTOR)[None, :], _eval_roughconductor(p, wi, wo), out
-    )
-    out = jnp.where(
-        (kind == BSDF_ROUGH_DIELECTRIC)[None, :],
-        _eval_roughdielectric(p, wi, wo),
-        out,
-    )
+    out = jnp.zeros_like(p["reflectance"])
+    for kval, fn in (
+        (BSDF_DIFFUSE, _eval_diffuse),
+        (BSDF_ROUGH_CONDUCTOR, _eval_roughconductor),
+        (BSDF_ROUGH_DIELECTRIC, _eval_roughdielectric),
+    ):
+        if kval in kinds:
+            out = jnp.where((kind == kval)[None, :], fn(p, wi, wo), out)
     return out
 
 
 def pdf_bsdf(p, wi, wo):
+    kinds = p.get("kinds", ALL_KINDS)
     flip = p["twosided"] & (frame.cos_theta(wi) < 0.0)
     wi = _flip_z(wi, flip)
     wo = _flip_z(wo, flip)
     kind = p["kind"]
-    out = jnp.where(kind == BSDF_DIFFUSE, _pdf_diffuse(p, wi, wo), 0.0)
-    out = jnp.where(kind == BSDF_ROUGH_CONDUCTOR, _pdf_roughconductor(p, wi, wo), out)
-    out = jnp.where(
-        kind == BSDF_ROUGH_DIELECTRIC, _pdf_roughdielectric(p, wi, wo), out
-    )
+    out = jnp.zeros_like(frame.cos_theta(wi))
+    for kval, fn in (
+        (BSDF_DIFFUSE, _pdf_diffuse),
+        (BSDF_ROUGH_CONDUCTOR, _pdf_roughconductor),
+        (BSDF_ROUGH_DIELECTRIC, _pdf_roughdielectric),
+    ):
+        if kval in kinds:
+            out = jnp.where(kind == kval, fn(p, wi, wo), out)
     return out
 
 
@@ -386,14 +420,21 @@ def sample_bsdf(p, wi, u1, u2):
         "eta": ones,
         "valid": jnp.ones_like(ones, dtype=bool),
     }
-    cases = (
-        (BSDF_DIFFUSE, res_d),
-        (BSDF_ROUGH_CONDUCTOR, _sample_roughconductor(p, wi_f, u2)),
-        (BSDF_ROUGH_DIELECTRIC, _sample_roughdielectric(p, wi_f, u1, u2)),
-        (BSDF_DIELECTRIC, _sample_dielectric(p, wi_f, u1)),
-        (BSDF_CONDUCTOR, _sample_conductor(p, wi_f)),
-        (BSDF_NULL, res_null),
+    kinds = p.get("kinds", ALL_KINDS)
+    all_cases = (
+        (BSDF_DIFFUSE, lambda: res_d),
+        (BSDF_ROUGH_CONDUCTOR, lambda: _sample_roughconductor(p, wi_f, u2)),
+        (BSDF_ROUGH_DIELECTRIC,
+         lambda: _sample_roughdielectric(p, wi_f, u1, u2)),
+        (BSDF_DIELECTRIC, lambda: _sample_dielectric(p, wi_f, u1)),
+        (BSDF_CONDUCTOR, lambda: _sample_conductor(p, wi_f)),
+        (BSDF_NULL, lambda: res_null),
     )
+    # trace-time pruning of absent models (see material_params); keep at
+    # least one case so the select scaffolding below stays shape-correct
+    cases = tuple((kv, fn()) for kv, fn in all_cases if kv in kinds)
+    if not cases:
+        cases = ((BSDF_DIFFUSE, res_d),)
 
     def sel_scalar(field, default=0.0):
         out = jnp.full_like(cases[0][1][field], default)

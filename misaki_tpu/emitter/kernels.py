@@ -13,25 +13,31 @@ import jax.numpy as jnp
 from misaki_tpu.core import frame, math as m, table, vec, warp
 from misaki_tpu.core.cie_data import CIE_MAX, CIE_MIN
 from misaki_tpu.scene.types import (
+    EF_CDF_HI,
+    EF_CDF_LO,
+    EF_E1,
+    EF_E2,
+    EF_HAS_N,
+    EF_N0,
+    EF_NG,
+    EF_P0,
     EM_AREA,
     EM_CONSTANT,
     EM_ENVMAP,
     EM_POINT,
-    FC_E1,
-    FC_E2,
-    FC_HAS_N,
-    FC_HAS_UV,
-    FC_N0,
-    FC_NG,
-    FC_P0,
-    FC_UV0,
 )
 
 
-def radiance(scene, ei, wavelengths):
+def radiance(scene, ei, wavelengths, rad=None):
     """Emitter radiance spectrum for a STATIC emitter index: L(lambda) =
     hat(curve)(lambda) * sigmoid(coeff)(lambda). Covers srgb_d65 / d65 /
-    uniform / regular (see EmitterTable docstring). Returns (4, L)."""
+    uniform / regular (see EmitterTable docstring). Returns (4, L).
+
+    `rad` is an optional precomputed `radiance_all` cache: the spectrum
+    depends only on the chunk's wavelengths, so integrators hoist it out of
+    the bounce loop (it was re-evaluated ~9x per cbox sample before)."""
+    if rad is not None:
+        return rad[ei]
     coeff = scene.emitters.rad_coeff[ei]
     curve = scene.emitters.rad_curve[ei]
     t = (wavelengths - CIE_MIN) * (94.0 / (CIE_MAX - CIE_MIN))
@@ -41,7 +47,28 @@ def radiance(scene, ei, wavelengths):
     return base * sig
 
 
-def eval_emitter(scene, emitter_ids, wi_local, uv, wavelengths):
+def radiance_all(scene, wavelengths):
+    """Per-chunk radiance cache: list of (4, L) spectra, one per emitter.
+    All emitter curves are evaluated with ONE shared hat-basis pass
+    (hat_eval_multi) — wavelength-only dependence makes this loop-invariant
+    for the whole chunk."""
+    n = scene.n_emitters
+    if n == 0:
+        return None
+    t = (wavelengths - CIE_MIN) * (94.0 / (CIE_MAX - CIE_MIN))
+    bases = table.hat_eval_multi(
+        [scene.emitters.rad_curve[ei] for ei in range(n)], t
+    )
+    out = []
+    for ei in range(n):
+        coeff = scene.emitters.rad_coeff[ei]
+        v = (coeff[0] * wavelengths + coeff[1]) * wavelengths + coeff[2]
+        sig = jnp.maximum(0.5 * v / jnp.sqrt(v * v + 1.0) + 0.5, 0.0)
+        out.append(bases[ei] * sig)
+    return out
+
+
+def eval_emitter(scene, emitter_ids, wi_local, uv, wavelengths, rad=None):
     """Emitter::eval at a surface hit — area lights emit on the front side
     only (area.cpp:51-54). Lanes with emitter_ids < 0 return 0. -> (4, L).
     Unrolled statically over the scene's emitters."""
@@ -52,7 +79,7 @@ def eval_emitter(scene, emitter_ids, wi_local, uv, wavelengths):
         if scene.emitter_kinds[ei] != EM_AREA:
             continue
         mask = (emitter_ids == ei) & front
-        out = jnp.where(mask[None, :], radiance(scene, ei, wavelengths), out)
+        out = jnp.where(mask[None, :], radiance(scene, ei, wavelengths, rad), out)
     return out
 
 
@@ -155,7 +182,7 @@ def _env_pdf_sa(scene, u, v, sin_t):
     return p * (He * We) / denom
 
 
-def _sample_envmap_emitter(scene, ei, ref_p, wavelengths, u2):
+def _sample_envmap_emitter(scene, ei, ref_p, wavelengths, u2, rad=None):
     """2D CDF importance sampling of the lat-long map: row from the marginal
     CDF, column from the row's conditional CDF, sub-texel position by sample
     reuse; pdf converted to solid angle with the sin-theta Jacobian."""
@@ -189,69 +216,61 @@ def _sample_envmap_emitter(scene, ei, ref_p, wavelengths, u2):
     from misaki_tpu.bsdf.kernels import rgb_to_spectral
 
     rgb = _env_bilinear_rgb(scene, u, v)
-    rad = jnp.maximum(rgb_to_spectral(rgb, wavelengths), 0.0)
+    rad_tex = jnp.maximum(rgb_to_spectral(rgb, wavelengths), 0.0)
     spec = jnp.where(
-        (pdf > 0.0)[None, :], rad / jnp.maximum(pdf, 1e-20)[None, :], 0.0
+        (pdf > 0.0)[None, :], rad_tex / jnp.maximum(pdf, 1e-20)[None, :], 0.0
     )
     dist = jnp.full((L,), 2.0 * em.bsphere_radius)
     return {"d": d, "dist": dist, "pdf": pdf, "spec": spec}
 
 
-def eval_environment(scene, d, wavelengths):
+def eval_environment(scene, d, wavelengths, rad=None):
     """Environment radiance along escaped direction d (constant.cpp eval /
     envmap lat-long lookup)."""
     if not scene.has_environment:
         return jnp.zeros(wavelengths.shape)
     if scene.emitter_kinds[scene.environment_idx] == EM_ENVMAP:
         return _env_radiance_spec(scene, d, wavelengths)
-    return radiance(scene, scene.environment_idx, wavelengths)
+    return radiance(scene, scene.environment_idx, wavelengths, rad)
 
 
-def _sample_area_emitter(scene, ei, ref_p, wavelengths, u2):
+def _sample_area_emitter(scene, ei, ref_p, wavelengths, u2, rad=None):
     """Area-light direct sampling: area-uniform position on the emissive
     shape (mesh.cpp:103-133) converted to solid angle (shape.cpp:66-80),
     one-sided (area.cpp:38-45)."""
     em = scene.emitters
     cdf = em.face_cdf[ei]     # (Fmax,) — static row slice
-    faces = em.face_global[ei]
 
     # face pick by area CDF with sample reuse (distribution.h sample_reuse):
     # a single vectorized compare-count over the padded CDF row (one (Fmax, L)
     # broadcast — no per-face Python unroll, trace size is O(1) in Fmax),
-    # then one one-hot fetch for the bracketing CDF values + face id.
+    # then ONE one-hot fetch of the compact per-emitter face pack — the
+    # (EF_COLS, Fmax) table replaces the global face_tab fetch whose (Fpad, L)
+    # one-hot cost ~512 MB of HBM traffic per bounce (Fmax is the emissive
+    # face count, typically orders of magnitude below Fpad).
     uy = u2[1]
     fmax = cdf.shape[0]
     below = uy[None, :] > cdf[:, None]                      # (Fmax, L)
     idx = jnp.clip(jnp.sum(below.astype(jnp.int32), 0), 0, fmax - 1)
-    rows = table.fetch(
-        jnp.stack(
-            [
-                jnp.concatenate([jnp.zeros(1, cdf.dtype), cdf[:-1]]),
-                cdf,
-                faces.astype(jnp.float32),
-            ]
-        ),
-        idx,
-    )
-    lo, hi, prim = rows[0], rows[1], rows[2].astype(jnp.int32)
+    fd = table.fetch(em.face_pack[ei], idx)                 # (EF_COLS, L)
+    lo, hi = fd[EF_CDF_LO], fd[EF_CDF_HI]
     uy = jnp.clip((uy - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0 - 1e-7)
 
     b1, b2 = warp.square_to_uniform_triangle((u2[0], uy))
     b0 = 1.0 - b1 - b2
 
-    fd = table.fetch(scene.geometry.face_tab, prim)
-    p0 = (fd[FC_P0], fd[FC_P0 + 1], fd[FC_P0 + 2])
-    e1 = (fd[FC_E1], fd[FC_E1 + 1], fd[FC_E1 + 2])
-    e2 = (fd[FC_E2], fd[FC_E2 + 1], fd[FC_E2 + 2])
+    p0 = (fd[EF_P0], fd[EF_P0 + 1], fd[EF_P0 + 2])
+    e1 = (fd[EF_E1], fd[EF_E1 + 1], fd[EF_E1 + 2])
+    e2 = (fd[EF_E2], fd[EF_E2 + 1], fd[EF_E2 + 2])
     p = vec.add(p0, vec.add(vec.scale(e1, b1), vec.scale(e2, b2)))
-    ng = (fd[FC_NG], fd[FC_NG + 1], fd[FC_NG + 2])
-    n0 = (fd[FC_N0], fd[FC_N0 + 1], fd[FC_N0 + 2])
-    n1 = (fd[FC_N0 + 3], fd[FC_N0 + 4], fd[FC_N0 + 5])
-    n2 = (fd[FC_N0 + 6], fd[FC_N0 + 7], fd[FC_N0 + 8])
+    ng = (fd[EF_NG], fd[EF_NG + 1], fd[EF_NG + 2])
+    n0 = (fd[EF_N0], fd[EF_N0 + 1], fd[EF_N0 + 2])
+    n1 = (fd[EF_N0 + 3], fd[EF_N0 + 4], fd[EF_N0 + 5])
+    n2 = (fd[EF_N0 + 6], fd[EF_N0 + 7], fd[EF_N0 + 8])
     ns = vec.normalize(
         vec.add(vec.scale(n0, b0), vec.add(vec.scale(n1, b1), vec.scale(n2, b2)))
     )
-    n = vec.where(fd[FC_HAS_N] > 0.5, ns, ng)
+    n = vec.where(fd[EF_HAS_N] > 0.5, ns, ng)
 
     d = vec.sub(p, ref_p)
     dist2 = vec.norm2(d)
@@ -265,25 +284,25 @@ def _sample_area_emitter(scene, ei, ref_p, wavelengths, u2):
 
     # one-sided emission: only where d . n < 0 (area.cpp:38)
     pdf = jnp.where(dn < 0.0, pdf, 0.0)
-    rad = radiance(scene, ei, wavelengths)
+    rad_s = radiance(scene, ei, wavelengths, rad)
     spec = jnp.where(
-        (pdf > 0.0)[None, :], rad / jnp.maximum(pdf, 1e-20)[None, :], 0.0
+        (pdf > 0.0)[None, :], rad_s / jnp.maximum(pdf, 1e-20)[None, :], 0.0
     )
     return {"d": d, "dist": dist, "pdf": pdf, "spec": spec}
 
 
-def _sample_constant_emitter(scene, ei, ref_p, wavelengths, u2):
+def _sample_constant_emitter(scene, ei, ref_p, wavelengths, u2, rad=None):
     """Uniform-sphere env sampling (constant.cpp:53-74)."""
     em = scene.emitters
     d = warp.square_to_uniform_sphere(u2)
     L = d[0].shape[0]
     dist = jnp.full((L,), 2.0 * em.bsphere_radius)
     pdf = warp.square_to_uniform_sphere_pdf(d)
-    rad = radiance(scene, ei, wavelengths)
-    return {"d": d, "dist": dist, "pdf": pdf, "spec": rad / pdf[None, :]}
+    rad_s = radiance(scene, ei, wavelengths, rad)
+    return {"d": d, "dist": dist, "pdf": pdf, "spec": rad_s / pdf[None, :]}
 
 
-def _sample_point_emitter(scene, ei, ref_p, wavelengths, u2):
+def _sample_point_emitter(scene, ei, ref_p, wavelengths, u2, rad=None):
     """Delta position light, 1/r^2 falloff (stale emitters/point.cpp parity)."""
     em = scene.emitters
     p = em.position[ei]
@@ -291,16 +310,16 @@ def _sample_point_emitter(scene, ei, ref_p, wavelengths, u2):
     dist2 = vec.norm2(d)
     dist = jnp.sqrt(dist2)
     d = vec.scale(d, 1.0 / jnp.maximum(dist, 1e-20))
-    rad = radiance(scene, ei, wavelengths)
+    rad_s = radiance(scene, ei, wavelengths, rad)
     return {
         "d": d,
         "dist": dist,
         "pdf": jnp.ones_like(dist),
-        "spec": rad / jnp.maximum(dist2, 1e-20)[None, :],
+        "spec": rad_s / jnp.maximum(dist2, 1e-20)[None, :],
     }
 
 
-def sample_emitter_direct(scene, ref_p, wavelengths, u2):
+def sample_emitter_direct(scene, ref_p, wavelengths, u2, rad=None):
     """Scene::sample_emitter_direct (scene.cpp:68-103) minus the visibility
     test (the integrator casts the batched shadow ray).
 
@@ -338,7 +357,7 @@ def sample_emitter_direct(scene, ref_p, wavelengths, u2):
     out = None
     delta = jnp.zeros(L, bool)
     for ei in range(n):
-        r = samplers[kinds[ei]](scene, ei, ref_p, wavelengths, u2r)
+        r = samplers[kinds[ei]](scene, ei, ref_p, wavelengths, u2r, rad)
         mask = index == ei
         if out is None:
             out = r

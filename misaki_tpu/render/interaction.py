@@ -36,6 +36,11 @@ def _rows3(fd, base):
     return (fd[base], fd[base + 1], fd[base + 2])
 
 
+def _unit_z(like):
+    z = jnp.zeros_like(like)
+    return (z, z, jnp.ones_like(like))
+
+
 def compute_interaction(scene, hit, o, d, wavelengths, fd=None):
     """hit: {"t", "prim", "u", "v"} from accel.traverse; o/d vec3 tuples.
 
@@ -58,7 +63,11 @@ def compute_interaction(scene, hit, o, d, wavelengths, fd=None):
     # barycentric formula in mesh.cpp:61 up to fp roundoff)
     p = vec.add(o, vec.scale(d, hit["t"]))
     p = vec.where(valid, p, o)
-    ng = _rows3(fd, FC_NG)
+    # Canonical miss-lane convention across accel backends (the cluster
+    # kernel and the fused brute fetch return all-zero rows on miss; the
+    # BVH fallback fetches face 0): substitute n = +z so every path yields
+    # the identical safe frame for invalid lanes.
+    ng = vec.where(valid, _rows3(fd, FC_NG), _unit_z(fd[0]))
 
     # shading normal (mesh.cpp:83-99)
     n0 = _rows3(fd, FC_N0)

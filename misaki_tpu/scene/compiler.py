@@ -41,6 +41,15 @@ from misaki_tpu.scene.types import (
     CompiledScene,
     DIST_BECKMANN,
     DIST_GGX,
+    EF_CDF_HI,
+    EF_CDF_LO,
+    EF_COLS,
+    EF_E1,
+    EF_E2,
+    EF_HAS_N,
+    EF_N0,
+    EF_NG,
+    EF_P0,
     EM_AREA,
     EM_CONSTANT,
     EM_ENVMAP,
@@ -289,6 +298,13 @@ class _MaterialBuilder:
         params = np.zeros((N_MAT_COLS, Bpad), np.float32)
         params[:, :B] = np.stack(self.rows, axis=-1)
         return MaterialTable(params=params)
+
+    def kinds_present(self):
+        """Static sorted tuple of BSDF kinds used by the scene — the
+        compute-all-and-select kernels prune absent models at trace time."""
+        if not self.rows:
+            return (BSDF_DIFFUSE,)
+        return tuple(sorted({int(r[MC_KIND]) for r in self.rows}))
 
 
 # ---------------------------------------------------------------------------
@@ -772,6 +788,24 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         fg_pad[i, len(fg):] = fg[-1] if len(fg) else 0
         fc_pad[i, : len(fc)] = fc
 
+    # compact per-emitter face pack for NEE area sampling (see scene/types.py
+    # EF_* rationale): bracketing CDF values + the face columns the sampler
+    # needs, sliced out of the already-packed global face_tab
+    fp_pad = np.zeros((max(n_emitters, 1), EF_COLS, fmax), np.float32)
+    fp_pad[:, EF_CDF_HI, :] = 1.0
+    for i, (fg, fc) in enumerate(zip(em_face_global, em_face_cdf)):
+        nf = len(fg)
+        if nf == 0:
+            continue
+        fp_pad[i, EF_CDF_LO, 1:nf] = fc[:-1]
+        fp_pad[i, EF_CDF_HI, :nf] = fc
+        fp_pad[i, EF_P0:EF_P0 + 3, :nf] = geom.face_tab[FC_P0:FC_P0 + 3, fg]
+        fp_pad[i, EF_E1:EF_E1 + 3, :nf] = geom.face_tab[FC_E1:FC_E1 + 3, fg]
+        fp_pad[i, EF_E2:EF_E2 + 3, :nf] = geom.face_tab[FC_E2:FC_E2 + 3, fg]
+        fp_pad[i, EF_NG:EF_NG + 3, :nf] = geom.face_tab[FC_NG:FC_NG + 3, fg]
+        fp_pad[i, EF_N0:EF_N0 + 9, :nf] = geom.face_tab[FC_N0:FC_N0 + 9, fg]
+        fp_pad[i, EF_HAS_N, :nf] = geom.face_tab[FC_HAS_N, fg]
+
     emitters = EmitterTable(
         kind=np.asarray(em_kind, np.int32).reshape(-1),
         shape=np.asarray(em_shape, np.int32).reshape(-1),
@@ -789,6 +823,7 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         ),
         face_global=fg_pad,
         face_cdf=fc_pad,
+        face_pack=fp_pad,
         area=np.asarray(em_area, np.float32).reshape(-1),
         bsphere_center=center.astype(np.float32),
         bsphere_radius=np.float32(radius),
@@ -886,6 +921,7 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         aovs=tuple(ip.get("aovs", "").split(",")) if ip.get("aovs") else (),
         direct_light_samples=int(ip.get("light_samples", 1)),
         direct_bsdf_samples=int(ip.get("bsdf_samples", 1)),
+        bsdf_kinds=materials.kinds_present(),
     )
     return scene
 

@@ -112,6 +112,22 @@ SPEC_SLOT_COLS = 13
 SCALAR_SLOT_COLS = 9
 
 
+# ---- compact per-emitter face-pack columns (EmitterTable.face_pack) ----
+# NEE area sampling needs only these per-face quantities; fetching them from
+# a (EF_COLS, Fmax) table with Fmax = max emissive faces is ~Fpad/Fmax times
+# cheaper than the global face_tab one-hot it replaces (the one-hot operand
+# is (N, L) — 512 MB per bounce at Fpad=128, L=1M).
+EF_CDF_LO = 0      # bracketing CDF values for sample reuse
+EF_CDF_HI = 1
+EF_P0 = 2          # 2-4
+EF_E1 = 5          # 5-7
+EF_E2 = 8          # 8-10
+EF_NG = 11         # 11-13
+EF_N0 = 14         # 14-22 vertex shading normals
+EF_HAS_N = 23
+EF_COLS = 24
+
+
 @pytree_dataclass
 class Geometry:
     """All triangles of all shapes concatenated, world-space, component-major
@@ -153,6 +169,7 @@ class EmitterTable:
     # shapes, which XLA cannot compile).
     face_global: Any   # (E, Fmax) int32 — global face indices (padded)
     face_cdf: Any      # (E, Fmax) float32 — normalized CDF (padded with 1.0)
+    face_pack: Any     # (E, EF_COLS, Fmax) float32 — compact NEE face data
     area: Any          # (E,) float32 — total surface area per emitter
     # Scene bounding sphere for infinite emitters (constant.cpp set_scene).
     bsphere_center: Any  # (3,) float32
@@ -237,10 +254,19 @@ class CompiledScene:
     # direct integrator sample counts (integrators/direct.cpp:21-27)
     direct_light_samples: int = 1
     direct_bsdf_samples: int = 1
+    # Static set of BSDF kinds present in the scene: the compute-all-and-
+    # select kernels (bsdf/kernels.py) prune absent models at trace time —
+    # an all-diffuse scene (cbox) skips the GGX/fresnel machinery entirely
+    # (~20% of the bounce megakernel, measured by tools/profile_stages.py).
+    bsdf_kinds: tuple = (
+        BSDF_DIFFUSE, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
+        BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_NULL,
+    )
 
     _static = (
         "direct_light_samples",
         "direct_bsdf_samples",
+        "bsdf_kinds",
         "film_width",
         "film_height",
         "spp",
