@@ -44,7 +44,10 @@ from typing import Any
 
 CLUSTER_FACES = 256     # faces per cluster block (lane-axis multiple of 128)
 R_TILE = 256            # rays per grid program (sublane-axis multiple of 8)
-MAX_VISITS = 48         # SMEM visit-list cap per tile (overflow -> full scan)
+# Visit-list cap per tile (overflow -> full scan). The schedule arrives as
+# per-program SMEM *blocks* ((1, MAX_VISITS) rows), so the cap costs ~1 KB
+# of SMEM per program regardless of tile count.
+MAX_VISITS = 128
 _BIG = 3.0e38  # plain float: jnp constants would be captured tracers in Pallas
 
 
@@ -142,8 +145,10 @@ def _cull_order(rays, bounds, n_clusters):
     visit order for every R_TILE ray tile at once.
 
     rays: (8, Lp) lane-last tile-major; bounds: (8, Cpad). Returns
-    (order (MAX_VISITS, nt) i32 — sorted cluster ids per tile — and count
-    (1, nt) i32, negative => full scan). Doing this in XLA keeps the Pallas
+    (order (nt, MAX_VISITS) i32 — sorted cluster ids per tile, keys
+    (nt, MAX_VISITS) f32 — the matching sorted entry distances for the
+    kernels' front-to-back early exit — and count (nt, 1) i32, negative =>
+    full scan). Doing this in XLA keeps the Pallas
     programs free of (C,1)-shaped vector work, which lowers to near-scalar
     VPU code and dominated early kernels."""
     nt = rays.shape[1] // R_TILE
@@ -185,14 +190,23 @@ def _cull_order(rays, bounds, n_clusters):
     possible = (tn_lower <= tf_upper) & valid
     key = jnp.where(possible, tn_lower, _BIG)        # (nt, Cpad)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    key_sorted = jnp.sort(key, axis=1)
     count = jnp.sum(key < _BIG, axis=1, keepdims=True).astype(jnp.int32)
-    # SMEM is ~1 MB: cap the visit list at MAX_VISITS columns; the rare tile
-    # whose frustum spans more clusters falls back to a full identity-order
-    # scan, signalled by a negative count (see the kernels)
+    # Cap the visit list at MAX_VISITS columns; the rare tile whose frustum
+    # spans more clusters falls back to a full identity-order scan,
+    # signalled by a negative count (see the kernels). The sorted entry
+    # keys ride along so the kernels can terminate front-to-back (visit k+1
+    # is skipped once every ray's committed hit beats its entry distance).
     overflow = count[:, 0] > MAX_VISITS
     count = jnp.where(overflow[:, None], -n_clusters, count)
-    # transposed (small dim last is padded to 128 in SMEM): (MAXV, nt), (1, nt)
-    return order[:, :MAX_VISITS].T, count.T
+    # singleton middle axis: TPU BlockSpecs demand the block's trailing two
+    # dims either be (8k, 128k)-aligned or EQUAL the array's — (1, 1, MAXV)
+    # blocks over (nt, 1, MAXV) arrays satisfy the equality form
+    return (
+        order[:, None, :MAX_VISITS],
+        key_sorted[:, None, :MAX_VISITS],
+        count[:, None, :],
+    )
 
 
 def _ray_components(rays_ref):
@@ -241,16 +255,22 @@ def _mt_cluster(rays, blk, t_cap):
     return t, u, v, hit
 
 
-def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
+def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
                     out_ref, face_ref):
-    """MT walk over the precomputed per-tile visit list (front-to-back).
+    """MT walk over the precomputed per-tile visit list (front-to-back),
+    with the early exit that makes the walk sub-linear in C: the schedule's
+    sorted entry keys arrive in SMEM, and the while_loop terminates as soon
+    as the next cluster's (conservative, per-tile) entry distance exceeds
+    every ray's committed hit -- coherent primary tiles commit within the
+    first few clusters and skip the rest.
 
     The cull + sort live OUTSIDE the kernel (plain XLA, `_cull_order`): the
     (C,1)-shaped vector work they'd need in-kernel lowers to near-scalar VPU
-    code and dominated runtime. ord/cnt arrive as SMEM blocks — scalar reads
-    there are native and cheap. The winner's face_tab row is fetched inside
-    the loop with one (T, B) x (B, R) one-hot MXU matmul per visit, replacing
-    the O(L x F x T) global one-hot matmul that dominated large-scene frames.
+    code and dominated runtime. ord/key/cnt arrive as per-program SMEM
+    blocks -- scalar reads there are native and cheap. The winner's face_tab
+    row is fetched inside the loop with one (T, B) x (B, R) one-hot MXU
+    matmul per visit, replacing the O(L x F x T) global one-hot matmul that
+    dominated large-scene frames.
     """
     rays = _ray_components(rays_ref)
     R = rays["ox"].shape[1]
@@ -258,19 +278,25 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
     # cap at _BIG so "no hit in block" (tmin == _BIG) never commits
     t0 = jnp.minimum(rays["maxt"], _BIG)
     z = jnp.zeros((1, R), jnp.float32)
-    init = (t0, z, z, z - 1.0, jnp.zeros((T, R), jnp.float32))
-    r = pl_program_id()                        # this program's tile column
-    n_raw = cnt_ref[0, r]
+    n_raw = cnt_ref[0, 0, 0]
     full = n_raw < 0                           # visit-list overflow: full scan
     n = jnp.where(full, -n_raw, n_raw)
 
-    def body(k, s):
-        t_b, u_b, v_b, f_b, acc = s
+    def cond(s):
+        k, t_b, _u, _v, _f, _acc = s
         kk = jnp.minimum(k, MAX_VISITS - 1)
-        c = jnp.where(full, k, ord_ref[kk, r])
+        # front-to-back exit (sorted keys): nothing can beat committed hits.
+        # The full-scan fallback has no sorted schedule -> run to the end.
+        open_ = full | (key_ref[0, 0, kk] < jnp.max(t_b))
+        return (k < n) & open_
+
+    def body(s):
+        k, t_b, u_b, v_b, f_b, acc = s
+        kk = jnp.minimum(k, MAX_VISITS - 1)
+        c = jnp.where(full, k, ord_ref[0, 0, kk])
         c = jnp.minimum(c, C - 1)              # min() guards VMEM OOB (pads
         blk = tri_ref[c]                       # never reach here once culled)
-        fid = blk[:, 9:10]                                 # (B, 1)
+        fid = blk[:, 9:10]
         t, u, v, hit = _mt_cluster(rays, blk, t_b)         # (B, R)
         tm = jnp.where(hit & (fid >= 0.0), t, _BIG)
         tmin = jnp.min(tm, axis=0, keepdims=True)          # (1, R)
@@ -289,6 +315,7 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
             preferred_element_type=jnp.float32,
         )
         return (
+            k + 1,
             jnp.where(take, tmin, t_b),
             jnp.where(take, um, u_b),
             jnp.where(take, vm, v_b),
@@ -296,7 +323,8 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
             jnp.where(take, row, acc),
         )
 
-    t_b, u_b, v_b, f_b, acc = jax.lax.fori_loop(0, n, body, init)
+    init = (jnp.int32(0), t0, z, z, z - 1.0, jnp.zeros((T, R), jnp.float32))
+    _, t_b, u_b, v_b, f_b, acc = jax.lax.while_loop(cond, body, init)
     out_ref[0:1, :] = jnp.where(f_b >= 0.0, t_b, _BIG)
     out_ref[1:2, :] = u_b
     out_ref[2:3, :] = v_b
@@ -305,28 +333,41 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, cnt_ref,
     face_ref[:, :] = acc
 
 
-def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, cnt_ref, out_ref):
+def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, out_ref):
     rays = _ray_components(rays_ref)
     R = rays["ox"].shape[1]
-    r = pl_program_id()
-    n_raw = cnt_ref[0, r]
+    n_raw = cnt_ref[0, 0, 0]
     full = n_raw < 0
     n = jnp.where(full, -n_raw, n_raw)
+    # shrinking exit bound: a cluster is only worth visiting while its entry
+    # key is within some still-unoccluded ray's range (pads have maxt = -1)
+    maxt_cap = jnp.minimum(rays["maxt"], _BIG)
 
-    def body(k, occ):
+    def cond(s):
+        k, occ = s
         kk = jnp.minimum(k, MAX_VISITS - 1)
-        c = jnp.minimum(jnp.where(full, k, ord_ref[kk, r]), C - 1)
+        bound = jnp.max(jnp.where(occ > 0.5, -_BIG, maxt_cap))
+        open_ = full | (key_ref[0, 0, kk] <= bound)
+        return (k < n) & open_
+
+    def body(s):
+        k, occ = s
+        kk = jnp.minimum(k, MAX_VISITS - 1)
+        c = jnp.minimum(jnp.where(full, k, ord_ref[0, 0, kk]), C - 1)
         blk = tri_ref[c]
         fid = blk[:, 9:10]
         _, _, _, hit = _mt_cluster(rays, blk, rays["maxt"])
         any_hit = jnp.max(
             jnp.where(hit & (fid >= 0.0), 1.0, 0.0), axis=0, keepdims=True
         )
-        return jnp.maximum(occ, any_hit)
+        return k + 1, jnp.maximum(occ, any_hit)
 
-    occ = jax.lax.fori_loop(0, n, body, jnp.zeros((1, R), jnp.float32))
+    _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((1, R), jnp.float32))
+    )
     out_ref[0:1, :] = occ
     out_ref[1:8, :] = jnp.zeros((7, R), jnp.float32)
+
 
 
 # ---------------------------------------------------------------------------
@@ -418,17 +459,20 @@ def _common_specs(acc, Lp):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    Cpad = acc.bounds.shape[1]
     in_specs = [
         pl.BlockSpec((8, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # tri table
     ]
-    # visit schedule: full arrays in SMEM — scalar loads there have no
-    # vector alignment rules, and the kernel indexes them by program id
-    del Cpad
+    # visit schedule: per-program SMEM BLOCKS — scalar loads there have no
+    # vector alignment rules, and blocking by grid index keeps SMEM use at
+    # ~1 KB/program no matter how many tiles the wavefront has
     sched_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # order (nt, Cpad)
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # count (nt, 1)
+        pl.BlockSpec((1, 1, MAX_VISITS), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),   # order (nt, 1, MAXV) i32
+        pl.BlockSpec((1, 1, MAX_VISITS), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),   # keys  (nt, 1, MAXV) f32
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),   # count (nt, 1, 1) i32
     ]
     return pl, pltpu, (Lp // R_TILE,), in_specs, sched_specs
 
@@ -442,7 +486,7 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
     enable the pixel-tile coherence swizzle for image-ordered wavefronts."""
     rays, L, Lp, sw = _pack_rays(o, d, mint, maxt, image_cols, spp)
     bounds = jnp.asarray(acc.bounds)
-    order_t, count = _cull_order(rays, bounds, acc.n_clusters)
+    order, keys, count = _cull_order(rays, bounds, acc.n_clusters)
     pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
     T = acc.tab.shape[1]
     out, face = pl.pallas_call(
@@ -463,7 +507,7 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
         # budget is too small for ~100k-face scenes (v5e has 128 MB VMEM)
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(rays, jnp.asarray(acc.tri), jnp.asarray(acc.tab), order_t, count)
+    )(rays, jnp.asarray(acc.tri), jnp.asarray(acc.tab), order, keys, count)
     if sw is not None:
         out = sw.inv_cols(out[:, : sw.Lp], L)
         face = sw.inv_cols(face[:, : sw.Lp], L)
@@ -485,7 +529,7 @@ def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
     """Any-hit visibility test; True = occluded."""
     rays, L, Lp, sw = _pack_rays(o, d, mint, maxt, image_cols, spp)
     bounds = jnp.asarray(acc.bounds)
-    order_t, count = _cull_order(rays, bounds, acc.n_clusters)
+    order, keys, count = _cull_order(rays, bounds, acc.n_clusters)
     pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
     out = pl.pallas_call(
         partial(_anyhit_kernel, acc.n_clusters),
@@ -497,7 +541,7 @@ def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
         ),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(rays, jnp.asarray(acc.tri), order_t, count)
+    )(rays, jnp.asarray(acc.tri), order, keys, count)
     if sw is not None:
         out = sw.inv_cols(out[:, : sw.Lp], L)
     else:

@@ -28,8 +28,15 @@ from misaki_tpu.scene.types import (
     BSDF_DIELECTRIC,
     BSDF_DIFFUSE,
     BSDF_NULL,
+    BSDF_PLASTIC,
     BSDF_ROUGH_CONDUCTOR,
     BSDF_ROUGH_DIELECTRIC,
+    MASK_FLAG,
+    MC_FDR,
+    MC_MASK,
+    MC_NONLINEAR,
+    MC_OPACITY,
+    MC_SSW,
     MC_ALPHA_U,
     MC_ALPHA_V,
     MC_DISTR,
@@ -71,16 +78,17 @@ def is_smooth_kind(kind):
         (kind == BSDF_DIFFUSE)
         | (kind == BSDF_ROUGH_CONDUCTOR)
         | (kind == BSDF_ROUGH_DIELECTRIC)
+        | (kind == BSDF_PLASTIC)
     )
 
 
 ALL_KINDS = (
     BSDF_DIFFUSE, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
-    BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_NULL,
+    BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_NULL, BSDF_PLASTIC,
 )
 
 
-def material_params(scene, ids, uv, wavelengths):
+def material_params(scene, ids, uv, wavelengths, duv=None):
     """ONE one-hot fetch of all packed material columns, then pure VPU
     slot evaluation (render/textures.py). Returns the per-lane param dict
     shared by sample/eval/pdf for the bounce.
@@ -91,10 +99,12 @@ def material_params(scene, ids, uv, wavelengths):
     kernel before pruning, tools/profile_stages.py)."""
     kinds = getattr(scene, "bsdf_kinds", ALL_KINDS)
     has_microfacet = (BSDF_ROUGH_CONDUCTOR in kinds
-                      or BSDF_ROUGH_DIELECTRIC in kinds)
+                      or BSDF_ROUGH_DIELECTRIC in kinds
+                      or BSDF_PLASTIC in kinds)
     has_conductor = BSDF_ROUGH_CONDUCTOR in kinds or BSDF_CONDUCTOR in kinds
     has_specular = has_conductor or (BSDF_ROUGH_DIELECTRIC in kinds
-                                     or BSDF_DIELECTRIC in kinds)
+                                     or BSDF_DIELECTRIC in kinds
+                                     or BSDF_PLASTIC in kinds)
     has_transmission = (BSDF_ROUGH_DIELECTRIC in kinds
                         or BSDF_DIELECTRIC in kinds)
     L = ids.shape[0]
@@ -105,15 +115,29 @@ def material_params(scene, ids, uv, wavelengths):
     eta_rgb = (cols[MC_ETA_RGB], cols[MC_ETA_RGB + 1], cols[MC_ETA_RGB + 2])
     k_rgb = (cols[MC_K_RGB], cols[MC_K_RGB + 1], cols[MC_K_RGB + 2])
 
-    def scalar_slot(base):
-        # Roughness is detached in round 1: correct alpha derivatives need
-        # reparameterized microfacet sampling, and the raw chain (~1/alpha^3
-        # at the 1e-4 clamp) overflows float32 cotangents into inf/NaN.
-        return jax.lax.stop_gradient(
-            microfacet.clamp_alpha(
-                tex.eval_scalar_slot(cols[base : base + SCALAR_SLOT_COLS], uv)
-            )
+    # Roughness participates in gradients only in diff_mode (see
+    # misaki_tpu.diff): sampling always uses DETACHED alpha (the attached
+    # chain through the sampled direction blows up ~1/alpha^3 at the clamp);
+    # in diff_mode eval/pdf see the attached value and sample weights are
+    # recomputed as f_attached(wo_detached)/pdf_detached (sample_bsdf).
+    diff_mode = bool(getattr(scene, "diff_mode", False))
+
+    bitmap_slots = getattr(scene, "bitmap_slots", ())
+
+    def spec_slot(base):
+        sc = scene if base in bitmap_slots else None
+        return tex.eval_spectral_slot(
+            cols[base : base + SPEC_SLOT_COLS], uv, wavelengths,
+            scene=sc, duv=duv,
         )
+
+    def scalar_slot(base):
+        sc = scene if base in bitmap_slots else None
+        a = microfacet.clamp_alpha(
+            tex.eval_scalar_slot(cols[base : base + SCALAR_SLOT_COLS], uv,
+                                 scene=sc, duv=duv)
+        )
+        return a if diff_mode else jax.lax.stop_gradient(a)
 
     return {
         "kind": kind,
@@ -121,21 +145,15 @@ def material_params(scene, ids, uv, wavelengths):
         "twosided": cols[MC_TWOSIDED] > 0.5,
         "distr": cols[MC_DISTR].astype(jnp.int32),
         "reflectance": (
-            tex.eval_spectral_slot(
-                cols[MC_REFL : MC_REFL + SPEC_SLOT_COLS], uv, wavelengths
-            ) if BSDF_DIFFUSE in kinds else zero_spec
+            spec_slot(MC_REFL)
+            if (BSDF_DIFFUSE in kinds or BSDF_PLASTIC in kinds)
+            else zero_spec
         ),
         "spec_refl": (
-            tex.eval_spectral_slot(
-                cols[MC_SPEC_REFL : MC_SPEC_REFL + SPEC_SLOT_COLS],
-                uv, wavelengths,
-            ) if has_specular else zero_spec
+            spec_slot(MC_SPEC_REFL) if has_specular else zero_spec
         ),
         "spec_trans": (
-            tex.eval_spectral_slot(
-                cols[MC_SPEC_TRANS : MC_SPEC_TRANS + SPEC_SLOT_COLS],
-                uv, wavelengths,
-            ) if has_transmission else zero_spec
+            spec_slot(MC_SPEC_TRANS) if has_transmission else zero_spec
         ),
         "alpha_u": scalar_slot(MC_ALPHA_U) if has_microfacet else jnp.zeros(L),
         "alpha_v": scalar_slot(MC_ALPHA_V) if has_microfacet else jnp.zeros(L),
@@ -145,6 +163,16 @@ def material_params(scene, ids, uv, wavelengths):
         "k_spec": (rgb_to_spectral(k_rgb, wavelengths)
                    if has_conductor else zero_spec),
         "smooth": is_smooth_kind(kind),
+        "diff": diff_mode,
+        # roughplastic extras (zeros elsewhere; rows default to 0)
+        "ssw": cols[MC_SSW],
+        "fdr": cols[MC_FDR],
+        "nonlinear": cols[MC_NONLINEAR] > 0.5,
+        # mask wrapper (bsdfs/mask.cpp): opacity spectrum + selection prob
+        "mask": (cols[MC_MASK] > 0.5) if MASK_FLAG in kinds else None,
+        "opacity": (
+            spec_slot(MC_OPACITY) if MASK_FLAG in kinds else None
+        ),
     }
 
 
@@ -350,6 +378,78 @@ def _sample_conductor(p, wi):
     }
 
 
+def _plastic_prob_specular(p, cti):
+    """Lobe-selection probability (roughplastic.cpp:47-54): Fresnel-weighted
+    specular sampling weight, renormalized (all components enabled)."""
+    t_i = 1.0 - fresnel.fresnel(cti, p["eta"])[0]
+    ps = (1.0 - t_i) * p["ssw"]
+    pd = t_i * (1.0 - p["ssw"])
+    return ps / jnp.maximum(ps + pd, _TINY)
+
+
+def _eval_plastic(p, wi, wo):
+    """roughplastic.cpp:80-118: microfacet specular + internally-scattered
+    diffuse with Fresnel transmittances and (non)linear compensation."""
+    cti = frame.cos_theta(wi)
+    cto = frame.cos_theta(wo)
+    ok = (cti > 0.0) & (cto > 0.0)
+    H = vec.normalize(vec.add(wi, wo))
+    D = microfacet.eval_ggx(H, p["alpha_u"], p["alpha_v"])
+    F = fresnel.fresnel(vec.dot(wi, H), p["eta"])[0]
+    Gv = microfacet.G(wi, wo, H, p["alpha_u"], p["alpha_v"], p["distr"])
+    spec = (F * D * Gv / (4.0 * jnp.maximum(cti, _TINY)))[None, :]
+    spec = spec * p["spec_refl"]
+
+    t_i = 1.0 - fresnel.fresnel(cti, p["eta"])[0]
+    t_o = 1.0 - fresnel.fresnel(cto, p["eta"])[0]
+    fdr = p["fdr"][None, :]
+    diff0 = p["reflectance"]
+    denom = 1.0 - jnp.where(p["nonlinear"][None, :], diff0 * fdr, fdr)
+    inv_eta2 = 1.0 / jnp.maximum(p["eta"] * p["eta"], _TINY)
+    diff = (diff0 / jnp.maximum(denom, _TINY)) * (
+        m.InvPi * inv_eta2 * cto * t_i * t_o
+    )[None, :]
+    return jnp.where(ok[None, :], spec + diff, 0.0)
+
+
+def _pdf_plastic(p, wi, wo):
+    cti = frame.cos_theta(wi)
+    cto = frame.cos_theta(wo)
+    ok = (cti > 0.0) & (cto > 0.0)
+    ps = _plastic_prob_specular(p, cti)
+    H = vec.normalize(vec.add(wi, wo))
+    pdf_s = microfacet.pdf_ggx(H, p["alpha_u"], p["alpha_v"]) / (
+        4.0 * jnp.maximum(vec.dot(wo, H), _TINY)
+    )
+    pdf = ps * pdf_s + (1.0 - ps) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(ok, pdf, 0.0)
+
+
+def _sample_plastic(p, wi, u1, u2):
+    """roughplastic.cpp:37-78: pick specular/diffuse lobe by the Fresnel-
+    weighted probability, then weight = eval / pdf (the combined-lobe pdf)."""
+    cti = frame.cos_theta(wi)
+    ps = _plastic_prob_specular(p, cti)
+    mv, _ = microfacet.sample_ggx(u2, p["alpha_u"], p["alpha_v"])
+    wo_s = fresnel.reflect_m(wi, mv)
+    wo_d = warp.square_to_cosine_hemisphere(u2)
+    sel_s = u1 < ps
+    wo = vec.where(sel_s, wo_s, wo_d)
+    pdf = _pdf_plastic(p, wi, wo)
+    val = _eval_plastic(p, wi, wo)
+    valid = (cti > 0.0) & (pdf > 0.0)
+    weight = jnp.where(
+        valid[None, :], val / jnp.maximum(pdf, _TINY)[None, :], 0.0
+    )
+    return {
+        "wo": wo,
+        "pdf": jnp.where(valid, pdf, 0.0),
+        "weight": weight,
+        "eta": jnp.ones_like(pdf),
+        "valid": valid,
+    }
+
+
 # ---------------------------------------------------------------------------
 # public wavefront API
 # ---------------------------------------------------------------------------
@@ -368,9 +468,13 @@ def eval_bsdf(p, wi, wo):
         (BSDF_DIFFUSE, _eval_diffuse),
         (BSDF_ROUGH_CONDUCTOR, _eval_roughconductor),
         (BSDF_ROUGH_DIELECTRIC, _eval_roughdielectric),
+        (BSDF_PLASTIC, _eval_plastic),
     ):
         if kval in kinds:
             out = jnp.where((kind == kval)[None, :], fn(p, wi, wo), out)
+    if p.get("mask") is not None:
+        # mask.cpp eval: nested eval x opacity
+        out = jnp.where(p["mask"][None, :], out * p["opacity"], out)
     return out
 
 
@@ -385,9 +489,14 @@ def pdf_bsdf(p, wi, wo):
         (BSDF_DIFFUSE, _pdf_diffuse),
         (BSDF_ROUGH_CONDUCTOR, _pdf_roughconductor),
         (BSDF_ROUGH_DIELECTRIC, _pdf_roughdielectric),
+        (BSDF_PLASTIC, _pdf_plastic),
     ):
         if kval in kinds:
             out = jnp.where(kind == kval, fn(p, wi, wo), out)
+    if p.get("mask") is not None:
+        # mask.cpp pdf: nested pdf x opacity selection probability
+        prob = jnp.clip(jnp.mean(p["opacity"], axis=0), 0.0, 1.0)
+        out = jnp.where(p["mask"], out * prob, out)
     return out
 
 
@@ -398,6 +507,17 @@ def sample_bsdf(p, wi, u1, u2):
     flip = p["twosided"] & (frame.cos_theta(wi) < 0.0)
     wi_f = _flip_z(wi, flip)
     kind = p["kind"]
+
+    # mask wrapper (bsdfs/mask.cpp:28-70): opacity-luminance lobe selection.
+    # Lanes choosing the nested lobe reuse a RESCALED u1 (sample reuse);
+    # the null branch is synthesized after the nested select below.
+    mask = p.get("mask")
+    if mask is not None:
+        op_prob = jnp.clip(jnp.mean(p["opacity"], axis=0), 1e-4, 1.0)
+        choose_null = mask & (u1 >= op_prob)
+        u1 = jnp.where(
+            mask, jnp.minimum(u1 / op_prob, 1.0 - 1e-7), u1
+        )
 
     # diffuse: cosine-hemisphere (diffuse.cpp:18-33)
     wo_d = warp.square_to_cosine_hemisphere(u2)
@@ -421,14 +541,24 @@ def sample_bsdf(p, wi, u1, u2):
         "valid": jnp.ones_like(ones, dtype=bool),
     }
     kinds = p.get("kinds", ALL_KINDS)
+    if p.get("diff", False):
+        # detached-sampling estimator (misaki_tpu.diff): directions and pdfs
+        # come from DETACHED alpha; the smooth-lobe weight is recomputed
+        # below as f_attached(wo_detached) / pdf_detached
+        p_s = dict(p)
+        p_s["alpha_u"] = jax.lax.stop_gradient(p["alpha_u"])
+        p_s["alpha_v"] = jax.lax.stop_gradient(p["alpha_v"])
+    else:
+        p_s = p
     all_cases = (
         (BSDF_DIFFUSE, lambda: res_d),
-        (BSDF_ROUGH_CONDUCTOR, lambda: _sample_roughconductor(p, wi_f, u2)),
+        (BSDF_ROUGH_CONDUCTOR, lambda: _sample_roughconductor(p_s, wi_f, u2)),
         (BSDF_ROUGH_DIELECTRIC,
-         lambda: _sample_roughdielectric(p, wi_f, u1, u2)),
-        (BSDF_DIELECTRIC, lambda: _sample_dielectric(p, wi_f, u1)),
-        (BSDF_CONDUCTOR, lambda: _sample_conductor(p, wi_f)),
+         lambda: _sample_roughdielectric(p_s, wi_f, u1, u2)),
+        (BSDF_DIELECTRIC, lambda: _sample_dielectric(p_s, wi_f, u1)),
+        (BSDF_CONDUCTOR, lambda: _sample_conductor(p_s, wi_f)),
         (BSDF_NULL, lambda: res_null),
+        (BSDF_PLASTIC, lambda: _sample_plastic(p_s, wi_f, u1, u2)),
     )
     # trace-time pruning of absent models (see material_params); keep at
     # least one case so the select scaffolding below stays shape-correct
@@ -458,17 +588,52 @@ def sample_bsdf(p, wi, u1, u2):
     for kval, r in cases:
         valid = jnp.where(kind == kval, r["valid"], valid)
 
+    weight = sel_spec("weight")
+    pdf = sel_scalar("pdf")
+    wo_out = _flip_z(sel_vec("wo"), flip)
+    if p.get("diff", False):
+        # attached weight at the detached sample position for rough lobes
+        # (delta lobes keep their closed forms — no alpha dependence)
+        wo_det = tuple(jax.lax.stop_gradient(c) for c in wo_out)
+        pdf_det = jax.lax.stop_gradient(pdf)
+        f_att = eval_bsdf(p, (wi[0], wi[1], wi[2]) if isinstance(wi, tuple) else wi, wo_det)
+        w_att = f_att / jnp.maximum(pdf_det, _TINY)[None, :]
+        rough = (kind == BSDF_ROUGH_CONDUCTOR) | (kind == BSDF_ROUGH_DIELECTRIC)
+        att_ok = rough & (pdf_det > 0.0)
+        weight = jnp.where(att_ok[None, :], w_att, weight)
+    if mask is not None:
+        # Synthesized null lobe + nested-branch reweighting. NOTE: the
+        # reference omits the 1/prob on the nested branch (mask.cpp:44-47 —
+        # value * opacity with selection probability `prob` but an unchanged
+        # pdf), which under-weights partially opaque surfaces; we implement
+        # the unbiased estimator (weight * opacity / prob, pdf * prob) —
+        # same convention as its own null branch (mask.cpp:49-57).
+        inv_wi = vec.neg(wi)
+        wo_out = vec.where(choose_null, inv_wi, wo_out)
+        w_nested = weight * (p["opacity"] / op_prob[None, :])
+        w_null = (1.0 - p["opacity"]) / jnp.maximum(1.0 - op_prob, 1e-6)[None, :]
+        weight = jnp.where(mask[None, :],
+                           jnp.where(choose_null[None, :], w_null, w_nested),
+                           weight)
+        pdf = jnp.where(mask,
+                        jnp.where(choose_null, 1.0 - op_prob, pdf * op_prob),
+                        pdf)
+        valid = jnp.where(choose_null, True, valid)
     out = {
-        "wo": _flip_z(sel_vec("wo"), flip),
-        "pdf": sel_scalar("pdf"),
-        "weight": sel_spec("weight"),
+        "wo": wo_out,
+        "pdf": pdf,
+        "weight": weight,
         "eta": sel_scalar("eta", default=1.0),
         "delta": (
             (kind == BSDF_DIELECTRIC)
             | (kind == BSDF_CONDUCTOR)
             | (kind == BSDF_NULL)
+            | (choose_null if mask is not None else False)
         ),
-        "null": kind == BSDF_NULL,
+        "null": (
+            (kind == BSDF_NULL) | choose_null if mask is not None
+            else kind == BSDF_NULL
+        ),
         "valid": valid,
     }
     return out

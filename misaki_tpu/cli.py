@@ -27,6 +27,20 @@ def main(argv=None):
         "-D", "--define", action="append", default=[], metavar="KEY=VAL",
         help="scene $parameter substitution",
     )
+    p.add_argument(
+        "--checkpoint", default=None, metavar="PATH",
+        help="film snapshot path: written periodically during the render "
+             "and resumed from automatically if present (preemption "
+             "recovery; the finished image is bit-identical)",
+    )
+    p.add_argument(
+        "--checkpoint-every", type=int, default=8, metavar="N",
+        help="snapshot every N wavefront chunks (default 8)",
+    )
+    p.add_argument(
+        "-I", "--include-dir", action="append", default=[], metavar="DIR",
+        help="extra file-resolver search path (meshes/textures/includes)",
+    )
     args = p.parse_args(argv)
 
     from misaki_tpu.utils.logging import Timer, get_logger
@@ -36,6 +50,11 @@ def main(argv=None):
 
     log = get_logger()
     params = dict(kv.split("=", 1) for kv in args.define)
+    if args.include_dir:
+        from misaki_tpu.utils.fresolver import get_file_resolver
+
+        for d in args.include_dir:
+            get_file_resolver().append(d)
 
     t = Timer()
     scene = load_and_compile(
@@ -52,7 +71,9 @@ def main(argv=None):
         scene.film_width, scene.film_height, scene.spp,
     )
     out = render(
-        scene, seed=args.seed, chunk_size=1 << args.chunk_log2, depth_cap=args.depth
+        scene, seed=args.seed, chunk_size=1 << args.chunk_log2,
+        depth_cap=args.depth, checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
     )
     out["rgb"].block_until_ready()
     log.info("Rendering finished. (took %s)", t)

@@ -41,6 +41,23 @@ def fetch(table, idx, n_valid=None):
     )
 
 
+def fetch_lowp(table, idx):
+    """`fetch` with bf16 operands: the one-hot is exactly representable and
+    the table loses mantissa to 8 bits — fine for image texels (8-bit
+    sources) and 4-8x cheaper on the MXU, which matters because the fused
+    one-hot dot's cost is O(N * L) in the table length. Returns float32."""
+    C, N = table.shape
+    L = idx.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, L), 0)
+    onehot = (rows == idx[None, :]).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        table.astype(jnp.bfloat16),
+        onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def hat_eval(values, t):
     """Sum_k values[k] * max(0, 1 - |t - k|) — the exact piecewise-linear
     interpolation of `values` at fractional index `t` (clamped to the ends),

@@ -77,8 +77,14 @@ def render_aovs(
             a = aovs[k]
             cols = cols + (a if isinstance(a, tuple) else (a,))
         if include_rgb:
-            if scene.integrator == "volpath":
+            # nested child integrator (aov.cpp renders the child's channels
+            # alongside the AOVs); scene.aov_nested is set by the compiler
+            # from the nested <integrator> or the presence of media
+            nested = getattr(scene, "aov_nested", "path")
+            if nested == "volpath":
                 L_spec, state = integ.sample_volpath(scene, ray, state, depth_cap)
+            elif nested == "direct":
+                L_spec, state = integ.sample_direct(scene, ray, state)
             else:
                 L_spec, state = integ.sample_path(scene, ray, state, depth_cap)
             xyz = spec.spectrum_to_xyz(

@@ -48,7 +48,10 @@ def primary_rays(scene, lane, seed):
     _lens, state = rng.next_2d(state)
 
     pos = (px + jitter[0], py + jitter[1])
-    ray = cam.sample_ray(scene.camera, pos, wav_u)
+    # crop window: the camera mapping spans the FULL sensor; film-local
+    # positions are offset into it (film.cpp crop semantics)
+    cam_pos = (pos[0] + scene.crop_x, pos[1] + scene.crop_y)
+    ray = cam.sample_ray_differential(scene.camera, cam_pos, wav_u)
     return ray, pos, state
 
 
@@ -101,15 +104,69 @@ def pick_chunk(chunk_size, spp, n_total):
     return min(chunk, -(-n_total // spp) * spp)
 
 
+def _scene_fingerprint(scene, seed, depth_cap):
+    """Cheap checkpoint-compatibility fingerprint: static config + geometry
+    size. A resumed render with a different scene/seed must be rejected."""
+    return (
+        f"{scene.film_width}x{scene.film_height}x{scene.spp}"
+        f"|{scene.integrator}|{scene.max_depth}|{scene.n_faces}"
+        f"|{scene.n_emitters}|seed={seed}|cap={depth_cap}"
+    )
+
+
+def save_checkpoint(path, film_flat, next_chunk, fingerprint):
+    """Atomic film+progress snapshot (SURVEY.md section 5: the preemption
+    recovery the reference never had). The per-lane RNG needs no state in the
+    file: streams are derived from (lane, seed), so resuming chunk c
+    regenerates them exactly."""
+    import os
+    import numpy as np
+
+    tmp = f"{path}.tmp.npz"
+    np.savez(tmp, film_flat=np.asarray(film_flat),
+             next_chunk=np.int64(next_chunk),
+             fingerprint=np.array(fingerprint))
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, fingerprint):
+    """-> (film_flat, next_chunk) or None if absent/incompatible."""
+    import os
+    import numpy as np
+
+    if not os.path.exists(path):
+        return None
+    data = np.load(path, allow_pickle=False)
+    if str(data["fingerprint"]) != fingerprint:
+        from misaki_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "checkpoint %s does not match this render (have %r, want %r) — "
+            "starting fresh", path, str(data["fingerprint"]), fingerprint,
+        )
+        return None
+    return jnp.asarray(data["film_flat"]), int(data["next_chunk"])
+
+
 def render(
     scene,
     seed=0,
     chunk_size=DEFAULT_CHUNK,
     depth_cap=integ.DEFAULT_MAX_DEPTH_CAP,
+    checkpoint_path=None,
+    checkpoint_every=8,
+    progress=None,
 ):
     """Render the scene; returns dict with the raw film and developed image.
     An `aov` integrator dispatches to the AOV driver (aov.cpp semantics) and
-    additionally returns {"aovs": {name: (H, W, C)}}."""
+    additionally returns {"aovs": {name: (H, W, C)}}.
+
+    checkpoint_path: when set, the accumulated film is snapshotted every
+    `checkpoint_every` chunks and the render resumes from the snapshot if a
+    compatible one exists (kill -9 mid-render -> resume -> bit-identical
+    image, because chunk order and per-lane RNG streams are deterministic).
+    progress: optional callable(done_chunks, total_chunks) for long renders;
+    defaults to log lines every ~10% when the render has multiple chunks."""
     if scene.integrator == "aov":
         from misaki_tpu.render.aov import render_aovs
 
@@ -126,12 +183,47 @@ def render(
     W, H, spp = scene.film_width, scene.film_height, scene.spp
     n_total = W * H * spp
     chunk = pick_chunk(chunk_size, spp, n_total)
-    film_flat = film_mod.new_film_flat(
-        H, W, 5, scene.filter_type, scene.filter_stddev
-    )
 
     n_chunks = -(-n_total // chunk)
-    for c in range(n_chunks):
+    if n_chunks == 1:
+        # single-chunk frame: film init + render + develop in ONE dispatch —
+        # each extra dispatch costs ~5-25 ms of host/tunnel latency, which
+        # dominates small frames (the bunny intersection benchmark)
+        film, rgb, alpha = render_frame_single(
+            scene, n_total, jnp.uint32(seed), chunk, depth_cap
+        )
+        return {"film": film, "rgb": rgb, "alpha": alpha}
+
+    start_chunk = 0
+    film_flat = None
+    fingerprint = _scene_fingerprint(scene, seed, depth_cap)
+    if checkpoint_path is not None:
+        resumed = load_checkpoint(checkpoint_path, fingerprint)
+        if resumed is not None:
+            film_flat, start_chunk = resumed
+            from misaki_tpu.utils.logging import get_logger
+
+            get_logger().info(
+                "resuming from %s at chunk %d/%d",
+                checkpoint_path, start_chunk, n_chunks,
+            )
+    if film_flat is None:
+        film_flat = film_mod.new_film_flat(
+            H, W, 5, scene.filter_type, scene.filter_stddev
+        )
+
+    if progress is None and n_chunks > 1:
+        from misaki_tpu.utils.logging import get_logger
+
+        log = get_logger()
+        step = max(1, n_chunks // 10)
+
+        def progress(done, total):  # noqa: F811 - default reporter
+            if done % step == 0 or done == total:
+                log.info("render progress: %d/%d chunks (%.0f%%)",
+                         done, total, 100.0 * done / total)
+
+    for c in range(start_chunk, n_chunks):
         film_flat = render_chunk(
             scene,
             film_flat,
@@ -141,10 +233,37 @@ def render(
             chunk,
             depth_cap,
         )
+        if progress is not None:
+            progress(c + 1, n_chunks)
+        if (checkpoint_path is not None and checkpoint_every > 0
+                and (c + 1) % checkpoint_every == 0 and c + 1 < n_chunks):
+            save_checkpoint(checkpoint_path, film_flat, c + 1, fingerprint)
+    if checkpoint_path is not None:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)  # completed: snapshot is stale
     film, rgb, alpha = develop_film(
         film_flat, H, W, scene.filter_type, scene.filter_stddev
     )
     return {"film": film, "rgb": rgb, "alpha": alpha}
+
+
+@partial(jax.jit, static_argnames=("n_total", "chunk", "depth_cap"))
+def render_frame_single(scene, n_total, seed, chunk, depth_cap):
+    """Whole-frame render for single-chunk wavefronts (one XLA program)."""
+    H, W = scene.film_height, scene.film_width
+    film_flat = film_mod.new_film_flat(
+        H, W, 5, scene.filter_type, scene.filter_stddev
+    )
+    film_flat = _render_chunk(
+        scene, film_flat, jnp.uint32(0), n_total, seed, chunk, depth_cap
+    )
+    film = film_mod.film_from_flat(
+        film_flat, H, W, scene.filter_type, scene.filter_stddev
+    )
+    rgb, alpha = film_mod.develop(film)
+    return film, rgb, alpha
 
 
 @partial(jax.jit, static_argnames=("H", "W", "filter_type", "stddev"))

@@ -26,6 +26,13 @@ from misaki_tpu.render import interaction as inter
 DEFAULT_MAX_DEPTH_CAP = 16
 
 
+def _ray_diff(ray):
+    """Camera ray differentials, when the driver generated them."""
+    if "d_dx" in ray:
+        return (ray["d_dx"], ray["d_dy"])
+    return None
+
+
 def n_bounce_iters(scene, depth_cap=DEFAULT_MAX_DEPTH_CAP):
     """Static number of NEE+BSDF bounce iterations: the reference breaks
     before NEE once depth >= max_depth (path.cpp:49-50); max_depth == -1
@@ -45,7 +52,10 @@ def sample_path(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
     wavelengths = ray["wavelengths"]
 
     hit = traverse.intersect(scene, ray["o"], ray["d"], ray["mint"], ray["maxt"])
-    si = inter.compute_interaction(scene, hit, ray["o"], ray["d"], wavelengths)
+    si = inter.compute_interaction(
+        scene, hit, ray["o"], ray["d"], wavelengths,
+        ray_diff=_ray_diff(ray),
+    )
 
     throughput = jnp.ones((4, L))
     result = jnp.zeros((4, L))
@@ -83,7 +93,8 @@ def sample_path(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
         u_rr, rng_state = rng.next_float32(rng_state)
 
         # -------- material params: ONE packed fetch per bounce --------
-        p = bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths)
+        p = bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths,
+                                 duv=(si["duv_dx"], si["duv_dy"]))
 
         # -------- NEE (path.cpp:53-67), only from Smooth BSDFs --------
         smooth = p["smooth"]
@@ -200,7 +211,10 @@ def _attenuated_transmittance(
     """
     from misaki_tpu.core.table import fetch as tfetch
     from misaki_tpu.render import medium as med
-    from misaki_tpu.scene.types import BSDF_NULL, MC_KIND
+    from misaki_tpu.render import textures as tex
+    from misaki_tpu.scene.types import (
+        BSDF_NULL, MASK_FLAG, MC_KIND, MC_MASK, MC_OPACITY,
+    )
 
     L = dist.shape[0]
     tr = jnp.ones((4, L))
@@ -208,6 +222,14 @@ def _attenuated_transmittance(
     o = ref_p
     medium = medium_ids
     alive = dist > 0.0
+    has_mask = MASK_FLAG in getattr(scene, "bsdf_kinds", ())
+    if has_mask:
+        # one fetch table for kind + mask flag + opacity slot rows
+        mtab = jnp.concatenate([
+            scene.materials.params[MC_KIND : MC_KIND + 1],
+            scene.materials.params[MC_MASK : MC_MASK + 1],
+            scene.materials.params[MC_OPACITY : MC_OPACITY + 13],
+        ])
 
     for _ in range(segments):
         mint = m.RayEpsilon * (1.0 + vec.max_abs(o))
@@ -218,10 +240,22 @@ def _attenuated_transmittance(
             jnp.where(alive, maxt, -1.0),
         )
         si = inter.compute_interaction(scene, hit, o, d, wavelengths)
-        kind = tfetch(
-            scene.materials.params[MC_KIND : MC_KIND + 1], si["bsdf"]
-        )[0].astype(jnp.int32)
-        is_null = kind == BSDF_NULL
+        if has_mask:
+            sub = tfetch(mtab, si["bsdf"])
+            kind = sub[0].astype(jnp.int32)
+            is_mask = sub[1] > 0.5
+            # a mask surface transmits (1 - opacity) and the march continues
+            # through it, mirroring Scene::eval_transmittance's Null-component
+            # evaluation (scene.cpp:155-183) with the mask's null lobe
+            opac = tex.eval_spectral_slot(sub[2:15], si["uv"], wavelengths)
+            is_null = (kind == BSDF_NULL) | is_mask
+            pass_mask = alive & si["valid"] & is_mask
+            tr = jnp.where(pass_mask[None, :], tr * (1.0 - opac), tr)
+        else:
+            kind = tfetch(
+                scene.materials.params[MC_KIND : MC_KIND + 1], si["bsdf"]
+            )[0].astype(jnp.int32)
+            is_null = kind == BSDF_NULL
         blocked = alive & si["valid"] & ~is_null
         tr = jnp.where(blocked[None, :], 0.0, tr)
 
@@ -247,7 +281,12 @@ def _attenuated_transmittance(
         alive = step & (remaining > mint) & (jnp.max(tr, axis=0) > 0.0)
         _ = done  # lanes park with their final tr
 
-    return tr
+    # Lanes still alive exhausted the static segment budget (> `segments`
+    # chained null boundaries): their estimate is incomplete, so treat the
+    # path as blocked (conservative — darkens instead of leaking light).
+    # The reference loops unboundedly here (scene.cpp:155-183); raise
+    # `segments` for scenes with deeper null chains.
+    return jnp.where(alive[None, :], 0.0, tr)
 
 
 def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
@@ -274,7 +313,10 @@ def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
     channel = jnp.minimum((u_ch * 4.0).astype(jnp.int32), 3)
 
     hit = traverse.intersect(scene, ray["o"], ray["d"], ray["mint"], ray["maxt"])
-    si = inter.compute_interaction(scene, hit, ray["o"], ray["d"], wavelengths)
+    si = inter.compute_interaction(
+        scene, hit, ray["o"], ray["d"], wavelengths,
+        ray_diff=_ray_diff(ray),
+    )
 
     throughput = jnp.ones((4, L))
     result = jnp.zeros((4, L))
@@ -364,7 +406,8 @@ def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
         result = result + jnp.where(take_em[None, :], tp_surf * em_val, 0.0)
 
         # NEE from Smooth BSDFs, attenuated, NO MIS (volpath.cpp:99-112)
-        p = bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths)
+        p = bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths,
+                                 duv=(si["duv_dx"], si["duv_dy"]))
         wo_nee = frame.to_local(si["sh"], ds["d"])
         f_nee = bsdf.eval_bsdf(p, si["wi"], wo_nee)
         take_nee = surface & si["valid"] & p["smooth"] & (ds["pdf"] > 0.0)
@@ -477,12 +520,24 @@ def sample_direct(scene, ray, rng_state):
     wavelengths = ray["wavelengths"]
     n_lum = max(scene.direct_light_samples, 1)
     n_bsdf = max(scene.direct_bsdf_samples, 1)
+    if n_lum + n_bsdf > 16:
+        from misaki_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "direct integrator: light_samples=%d + bsdf_samples=%d unroll "
+            "into ONE traced program (%d intersect/shade stages) — compile "
+            "time grows linearly; prefer raising spp instead",
+            n_lum, n_bsdf, n_lum + n_bsdf,
+        )
     frac_lum = n_lum / (n_lum + n_bsdf)
     frac_bsdf = n_bsdf / (n_lum + n_bsdf)
     w_lum, w_bsdf = 1.0 / n_lum, 1.0 / n_bsdf
 
     hit = traverse.intersect(scene, ray["o"], ray["d"], ray["mint"], ray["maxt"])
-    si = inter.compute_interaction(scene, hit, ray["o"], ray["d"], wavelengths)
+    si = inter.compute_interaction(
+        scene, hit, ray["o"], ray["d"], wavelengths,
+        ray_diff=_ray_diff(ray),
+    )
     result = jnp.zeros((4, L))
     rad = emitter.radiance_all(scene, wavelengths)  # per-chunk cache
 
@@ -497,7 +552,8 @@ def sample_direct(scene, ray, rng_state):
         result = result + jnp.where(si["valid"][None, :], em_val, 0.0)
 
     active = si["valid"]
-    p = bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths)
+    p = bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths,
+                             duv=(si["duv_dx"], si["duv_dy"]))
     sh_mint = m.RayEpsilon * (1.0 + vec.max_abs(si["p"]))
 
     # ---- light sampling (direct.cpp:97-113), gated on Smooth lobes ----

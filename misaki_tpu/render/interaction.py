@@ -41,11 +41,65 @@ def _unit_z(like):
     return (z, z, jnp.ones_like(like))
 
 
-def compute_interaction(scene, hit, o, d, wavelengths, fd=None):
+def _uv_partials(fd, valid, p, o, ng, d_dx, d_dy):
+    """Screen-space UV partials (interaction.h:62-85 compute_uv_partials,
+    pinhole origin shared): project the +1px neighbour rays onto the hit
+    plane, then 2x2 least-squares against the face's UV-parameterization
+    tangents dp_du/dp_dv (mesh.cpp:66-80). Returns (duv_dx, duv_dy) 2-tuples
+    of (L,); zeros for invalid lanes or degenerate parameterizations."""
+    # dp_du/dp_dv from the UV deltas (mesh.cpp:71-80)
+    e1 = _rows3(fd, FC_E1)
+    e2 = _rows3(fd, FC_E2)
+    du0 = fd[FC_UV0 + 2] - fd[FC_UV0]
+    dv0 = fd[FC_UV0 + 3] - fd[FC_UV0 + 1]
+    du1 = fd[FC_UV0 + 4] - fd[FC_UV0]
+    dv1 = fd[FC_UV0 + 5] - fd[FC_UV0 + 1]
+    det = du0 * dv1 - dv0 * du1
+    ok_uv = (fd[FC_HAS_UV] > 0.5) & (jnp.abs(det) > 1e-12)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    dp_du = vec.scale(vec.sub(vec.scale(e1, dv1), vec.scale(e2, dv0)), inv)
+    dp_dv = vec.scale(
+        vec.add(vec.scale(e1, -du1), vec.scale(e2, du0)), inv
+    )
+    # faces without texcoords: barycentric parameterization (uv == (b1, b2),
+    # so dp_du = e1, dp_dv = e2 exactly)
+    dp_du = vec.where(ok_uv, dp_du, e1)
+    dp_dv = vec.where(ok_uv, dp_dv, e2)
+
+    # neighbour-ray plane projections (shared origin o)
+    dist = vec.dot(ng, p)
+    safe = lambda x: jnp.where(jnp.abs(x) < 1e-12, 1e-12, x)
+    t_x = (dist - vec.dot(ng, o)) / safe(vec.dot(ng, d_dx))
+    t_y = (dist - vec.dot(ng, o)) / safe(vec.dot(ng, d_dy))
+    dp_dx = vec.sub(vec.add(vec.scale(d_dx, t_x), o), p)
+    dp_dy = vec.sub(vec.add(vec.scale(d_dy, t_y), o), p)
+
+    a00 = vec.dot(dp_du, dp_du)
+    a01 = vec.dot(dp_du, dp_dv)
+    a11 = vec.dot(dp_dv, dp_dv)
+    det_a = a00 * a11 - a01 * a01
+    inv_det = jnp.where(
+        (jnp.abs(det_a) > 1e-20) & valid, 1.0 / safe(det_a), 0.0
+    )
+    b0x = vec.dot(dp_du, dp_dx)
+    b1x = vec.dot(dp_dv, dp_dx)
+    b0y = vec.dot(dp_du, dp_dy)
+    b1y = vec.dot(dp_dv, dp_dy)
+    duv_dx = ((a11 * b0x - a01 * b1x) * inv_det,
+              (a00 * b1x - a01 * b0x) * inv_det)
+    duv_dy = ((a11 * b0y - a01 * b1y) * inv_det,
+              (a00 * b1y - a01 * b0y) * inv_det)
+    return duv_dx, duv_dy
+
+
+def compute_interaction(scene, hit, o, d, wavelengths, fd=None, ray_diff=None):
     """hit: {"t", "prim", "u", "v"} from accel.traverse; o/d vec3 tuples.
 
     Returns SoA dict: valid, t, p (vec3), ng (vec3), sh (frame), uv (vec2),
-    wi (vec3 local), prim, bsdf (int lanes), emitter (int lanes).
+    wi (vec3 local), prim, bsdf (int lanes), emitter (int lanes), and
+    duv_dx/duv_dy 2-tuples (zeros unless `ray_diff=(d_dx, d_dy)` camera
+    differentials are given — primary rays only, like the reference's
+    RayDifferential flow through bsdf.cpp:17-20).
     """
     prim = jnp.maximum(hit["prim"], 0)
     valid = hit["prim"] >= 0
@@ -97,7 +151,17 @@ def compute_interaction(scene, hit, o, d, wavelengths, fd=None):
 
     wi = frame.to_local(sh, vec.neg(d))
 
+    if ray_diff is not None:
+        duv_dx, duv_dy = _uv_partials(
+            fd, valid, p, o, ng, ray_diff[0], ray_diff[1]
+        )
+    else:
+        z = jnp.zeros_like(b1)
+        duv_dx = duv_dy = (z, z)
+
     return {
+        "duv_dx": duv_dx,
+        "duv_dy": duv_dy,
         "valid": valid,
         "t": jnp.where(valid, hit["t"], jnp.inf),
         "p": p,

@@ -34,6 +34,7 @@ from misaki_tpu.scene.types import (
     BSDF_DIELECTRIC,
     BSDF_DIFFUSE,
     BSDF_NULL,
+    BSDF_PLASTIC,
     BSDF_ROUGH_CONDUCTOR,
     BSDF_ROUGH_DIELECTRIC,
     BVH,
@@ -75,12 +76,18 @@ from misaki_tpu.scene.types import (
     MC_DISTR,
     MC_ETA,
     MC_ETA_RGB,
+    MC_FDR,
     MC_KIND,
     MC_K_RGB,
+    MC_MASK,
+    MC_NONLINEAR,
+    MC_OPACITY,
     MC_REFL,
+    MC_SSW,
     MC_SPEC_REFL,
     MC_SPEC_TRANS,
     MC_TWOSIDED,
+    MASK_FLAG,
     MED_HOMOGENEOUS,
     MediumTable,
     N_FACE_COLS,
@@ -113,7 +120,7 @@ def _uv_rows(to_uv):
     )
 
 
-def spectral_slot(obj, name, default):
+def spectral_slot(obj, name, default, bitmaps=None):
     """13-column spectral texture slot for property `name` of plugin `obj`
     (Properties::texture coercion semantics, properties.cpp:194-234)."""
     child = None
@@ -125,6 +132,13 @@ def spectral_slot(obj, name, default):
     if child is None:
         v = obj["props"].get(name, default)
         slot[1:4] = [0.0, 0.0, float(sigmoid_inverse(v))]
+        return slot
+    if child["type"] == "bitmap":
+        if bitmaps is None:
+            raise ValueError("bitmap texture outside a scene compile")
+        slot[0] = 2.0  # SLOT_BITMAP
+        slot[1] = float(bitmaps.load(child["props"]["filename"]))
+        slot[7:13] = _uv_rows(child["props"].get("to_uv", tr.identity()))
         return slot
     if child["type"] == "checkerboard":
         c0 = None
@@ -154,7 +168,7 @@ def spectral_slot(obj, name, default):
     return slot
 
 
-def scalar_slot(obj, name, default):
+def scalar_slot(obj, name, default, bitmaps=None):
     """9-column scalar texture slot (alphas)."""
     child = None
     for n, ch in obj["children"]:
@@ -167,6 +181,13 @@ def scalar_slot(obj, name, default):
         return slot
     if child["type"] == "uniform":
         slot[1] = slot[2] = float(child["props"]["value"])
+        return slot
+    if child["type"] == "bitmap":
+        if bitmaps is None:
+            raise ValueError("bitmap texture outside a scene compile")
+        slot[0] = 2.0  # SLOT_BITMAP
+        slot[1] = float(bitmaps.load(child["props"]["filename"]))
+        slot[3:9] = _uv_rows(child["props"].get("to_uv", tr.identity()))
         return slot
     if child["type"] == "checkerboard":
         vals = {"color0": 0.4, "color1": 0.2}
@@ -182,16 +203,124 @@ def scalar_slot(obj, name, default):
 
 
 # ---------------------------------------------------------------------------
+# bitmap textures (textures/bitmap.cpp) -> mip-chained linear-RGB atlas
+# ---------------------------------------------------------------------------
+
+BITMAP_MAX_RES = 256  # base-level cap: the bf16 one-hot fetch is O(N)/lane
+
+
+def _box_down2(img):
+    """2x box downsample with edge padding for odd dims."""
+    H, W = img.shape[:2]
+    if H % 2 or W % 2:
+        img = np.pad(img, ((0, H % 2), (0, W % 2), (0, 0)), mode="edge")
+    return img.reshape(img.shape[0] // 2, 2, img.shape[1] // 2, 2, 3).mean(
+        axis=(1, 3)
+    )
+
+
+class _BitmapBuilder:
+    """Loads bitmap textures, builds their mip chains, and packs everything
+    into one flat (3, Npad) atlas + static metadata (scene/types.py
+    `bitmaps`/`bitmap_meta`). Images above BITMAP_MAX_RES are box-downsampled
+    first: the in-kernel fetch cost is O(atlas texels) per lane."""
+
+    def __init__(self, base_dir):
+        self.base_dir = base_dir
+        self.levels = []   # per texture: list of (H, W, 3) float32 levels
+        self._cache = {}
+
+    def load(self, filename):
+        if filename in self._cache:
+            return self._cache[filename]
+        from misaki_tpu.utils.fresolver import get_file_resolver
+
+        path = get_file_resolver().resolve(filename, self.base_dir)
+        try:
+            if path.suffix.lower() == ".hdr":
+                rgb = _read_rgbe_hdr(path)
+            else:
+                rgb = read_image_rgb(path)
+        except (OSError, ValueError) as e:
+            raise ValueError(f"bitmap: cannot load '{filename}': {e}") from e
+        rgb = np.asarray(rgb, np.float64)
+        while max(rgb.shape[:2]) > BITMAP_MAX_RES:
+            rgb = _box_down2(rgb)
+        chain = [rgb.astype(np.float32)]
+        while min(chain[-1].shape[:2]) > 1:
+            chain.append(_box_down2(chain[-1]).astype(np.float32))
+        tid = len(self.levels)
+        self.levels.append(chain)
+        self._cache[filename] = tid
+        return tid
+
+    def finalize(self):
+        """-> (atlas (3, Npad) float32, meta tuple)."""
+        if not self.levels:
+            return np.zeros((3, 8), np.float32), ()
+        meta = []
+        flat = []
+        off = 0
+        for chain in self.levels:
+            lv = []
+            for img in chain:
+                H, W = img.shape[:2]
+                flat.append(img.reshape(-1, 3))
+                lv.append((off, W, H))
+                off += H * W
+            W0, H0 = chain[0].shape[1], chain[0].shape[0]
+            meta.append((W0, H0, tuple(lv)))
+        texels = np.concatenate(flat, axis=0)  # (N, 3)
+        Npad = max(8, -(-len(texels) // 8) * 8)
+        atlas = np.zeros((3, Npad), np.float32)
+        atlas[:, : len(texels)] = texels.T
+        return atlas, tuple(meta)
+
+
+# ---------------------------------------------------------------------------
 # materials
 # ---------------------------------------------------------------------------
 
 _DIST_MAP = {"beckmann": DIST_BECKMANN, "ggx": DIST_GGX}
 
+_BSDF_TYPES = {
+    "diffuse", "roughconductor", "conductor", "roughdielectric",
+    "dielectric", "null", "twosided", "roughplastic", "mask",
+}
+
+
+def _fresnel_diffuse_reflectance(eta):
+    """fresnel.h:93-125 — Egan-Hilgeman (eta<1) / d'Eon-Irving (eta>=1)
+    fits of the hemispherically-integrated Fresnel reflectance."""
+    eta = float(eta)
+    if eta < 1.0:
+        return -1.4399 * eta * eta + 0.7099 * eta + 0.6681 + 0.0636 / eta
+    ie = 1.0 / eta
+    return (0.919317 - 3.4793 * ie + 6.75335 * ie**2
+            - 7.80989 * ie**3 + 4.98554 * ie**4 - 1.36881 * ie**5)
+
+
+def _slot_mean(slot13):
+    """Mean reflectance of a spectral slot (Texture::mean analogue used by
+    roughplastic's sampling weight): sigmoid-model mean for plain/checker
+    slots, 0.5 placeholder for bitmap slots (their mean is texel-dependent;
+    the weight only steers lobe selection, not correctness)."""
+    from misaki_tpu.core.srgb_upsample import srgb_model_mean
+
+    if abs(slot13[0] - 2.0) < 0.25:
+        return 0.5
+    mA = float(srgb_model_mean(np.asarray(slot13[1:4])))
+    if slot13[0] > 0.5:  # checkerboard: average the two colors
+        mB = float(srgb_model_mean(np.asarray(slot13[4:7])))
+        return 0.5 * (mA + mB)
+    return mA
+
 
 class _MaterialBuilder:
-    def __init__(self):
+    def __init__(self, bitmaps=None):
         self.rows = []
         self._cache = {}
+        self.bitmaps = bitmaps
 
     def compile(self, obj):
         key = id(obj)
@@ -219,13 +348,15 @@ class _MaterialBuilder:
 
         if t == "diffuse":
             row[MC_KIND] = BSDF_DIFFUSE
-            row[MC_REFL : MC_REFL + 13] = spectral_slot(obj, "reflectance", 0.5)
+            row[MC_REFL : MC_REFL + 13] = spectral_slot(
+                obj, "reflectance", 0.5, self.bitmaps
+            )
         elif t in ("roughconductor", "conductor"):
             row[MC_KIND] = (
                 BSDF_ROUGH_CONDUCTOR if t == "roughconductor" else BSDF_CONDUCTOR
             )
             row[MC_SPEC_REFL : MC_SPEC_REFL + 13] = spectral_slot(
-                obj, "specular_reflectance", 1.0
+                obj, "specular_reflectance", 1.0, self.bitmaps
             )
             self._alphas(obj, p, row)
             eta, k = self._conductor_ior(obj, p)
@@ -234,10 +365,10 @@ class _MaterialBuilder:
         elif t == "roughdielectric":
             row[MC_KIND] = BSDF_ROUGH_DIELECTRIC
             row[MC_SPEC_REFL : MC_SPEC_REFL + 13] = spectral_slot(
-                obj, "specular_reflectance", 1.0
+                obj, "specular_reflectance", 1.0, self.bitmaps
             )
             row[MC_SPEC_TRANS : MC_SPEC_TRANS + 13] = spectral_slot(
-                obj, "specular_transmittance", 1.0
+                obj, "specular_transmittance", 1.0, self.bitmaps
             )
             self._alphas(obj, p, row)
             row[MC_ETA] = float(p.get("int_ior", 1.5046)) / float(
@@ -246,14 +377,48 @@ class _MaterialBuilder:
         elif t == "dielectric":
             row[MC_KIND] = BSDF_DIELECTRIC
             row[MC_SPEC_REFL : MC_SPEC_REFL + 13] = spectral_slot(
-                obj, "specular_reflectance", 1.0
+                obj, "specular_reflectance", 1.0, self.bitmaps
             )
             row[MC_SPEC_TRANS : MC_SPEC_TRANS + 13] = spectral_slot(
-                obj, "specular_transmittance", 1.0
+                obj, "specular_transmittance", 1.0, self.bitmaps
             )
             row[MC_ETA] = float(p.get("int_ior", 1.49)) / float(
                 p.get("ext_ior", 1.00028)
             )
+        elif t == "roughplastic":
+            row[MC_KIND] = BSDF_PLASTIC
+            dslot = spectral_slot(obj, "diffuse_reflectance", 0.5, self.bitmaps)
+            sslot = spectral_slot(
+                obj, "specular_reflectance", 1.0, self.bitmaps
+            )
+            row[MC_REFL : MC_REFL + 13] = dslot
+            row[MC_SPEC_REFL : MC_SPEC_REFL + 13] = sslot
+            self._alphas(obj, p, row)
+            eta = float(p.get("int_ior", 1.49)) / float(p.get("ext_ior", 1.00028))
+            row[MC_ETA] = eta
+            row[MC_NONLINEAR] = 1.0 if p.get("nonlinear", False) else 0.0
+            row[MC_FDR] = _fresnel_diffuse_reflectance(eta)
+            d_mean = _slot_mean(dslot)
+            s_mean = _slot_mean(sslot)
+            row[MC_SSW] = s_mean / max(d_mean + s_mean, 1e-9)
+        elif t == "mask":
+            # mask.cpp: opacity texture + ONE nested BSDF; flattened into the
+            # nested row + opacity columns (the null lobe is synthesized by
+            # the sample/eval kernels from MC_MASK/MC_OPACITY)
+            nested = [ch for _, ch in obj["children"]
+                      if ch["type"] in _BSDF_TYPES and ch["type"] != "mask"]
+            if len(nested) != 1:
+                raise ValueError("mask: exactly one nested BSDF required")
+            inner = self.compile(nested[0])
+            row = self.rows[inner].copy()
+            row[MC_MASK] = 1.0
+            row[MC_OPACITY : MC_OPACITY + 13] = spectral_slot(
+                obj, "opacity", 0.5, self.bitmaps
+            )
+            idx = len(self.rows)
+            self.rows.append(row)
+            self._cache[key] = idx
+            return idx
         elif t == "null":
             row[MC_KIND] = BSDF_NULL
         else:
@@ -265,10 +430,14 @@ class _MaterialBuilder:
 
     def _alphas(self, obj, p, row):
         if "alpha_u" in p or self._has_child(obj, "alpha_u"):
-            row[MC_ALPHA_U : MC_ALPHA_U + 9] = scalar_slot(obj, "alpha_u", 0.1)
-            row[MC_ALPHA_V : MC_ALPHA_V + 9] = scalar_slot(obj, "alpha_v", 0.1)
+            row[MC_ALPHA_U : MC_ALPHA_U + 9] = scalar_slot(
+                obj, "alpha_u", 0.1, self.bitmaps
+            )
+            row[MC_ALPHA_V : MC_ALPHA_V + 9] = scalar_slot(
+                obj, "alpha_v", 0.1, self.bitmaps
+            )
         else:
-            a = scalar_slot(obj, "alpha", 0.1)
+            a = scalar_slot(obj, "alpha", 0.1, self.bitmaps)
             row[MC_ALPHA_U : MC_ALPHA_U + 9] = a
             row[MC_ALPHA_V : MC_ALPHA_V + 9] = a
 
@@ -299,12 +468,25 @@ class _MaterialBuilder:
         params[:, :B] = np.stack(self.rows, axis=-1)
         return MaterialTable(params=params)
 
+    def bitmap_slot_bases(self):
+        """Static tuple of slot base columns that reference a bitmap."""
+        bases = []
+        for base in (MC_REFL, MC_SPEC_REFL, MC_SPEC_TRANS,
+                     MC_ALPHA_U, MC_ALPHA_V):
+            if any(abs(r[base] - 2.0) < 0.25 for r in self.rows):
+                bases.append(base)
+        return tuple(bases)
+
     def kinds_present(self):
         """Static sorted tuple of BSDF kinds used by the scene — the
-        compute-all-and-select kernels prune absent models at trace time."""
+        compute-all-and-select kernels prune absent models at trace time.
+        Includes the MASK_FLAG pseudo-kind when any row is mask-wrapped."""
         if not self.rows:
             return (BSDF_DIFFUSE,)
-        return tuple(sorted({int(r[MC_KIND]) for r in self.rows}))
+        kinds = {int(r[MC_KIND]) for r in self.rows}
+        if any(r[MC_MASK] > 0.5 for r in self.rows):
+            kinds.add(MASK_FLAG)
+        return tuple(sorted(kinds))
 
 
 # ---------------------------------------------------------------------------
@@ -444,7 +626,9 @@ def read_image_rgb(path):
 # Envmaps are fetched in-kernel with one-hot MXU matmuls (gather-free —
 # core/table.py), whose cost scales with He*We, so maps are box-downsampled
 # to this cap at compile time. Raise for quality, lower for speed.
-ENV_MAX_RES = (128, 256)
+# (r3: raised 128x256 -> 256x512 — 4x the texels; the fused one-hot dot
+# absorbs it, and bf16 fetches are available for hotter paths.)
+ENV_MAX_RES = (256, 512)
 
 
 def _load_envmap(obj, base_dir, max_res=ENV_MAX_RES):
@@ -457,7 +641,9 @@ def _load_envmap(obj, base_dir, max_res=ENV_MAX_RES):
         # missing/undecodable envmap files raise, matching the reference's
         # Throw on load failure (envmap.cpp:18-19) — a typo'd filename must
         # not silently render against a gray fallback
-        path = Path(base_dir) / str(fname)
+        from misaki_tpu.utils.fresolver import get_file_resolver
+
+        path = get_file_resolver().resolve(fname, base_dir)
         try:
             if path.suffix.lower() == ".hdr":
                 rgb = _read_rgbe_hdr(path)
@@ -517,8 +703,10 @@ def _load_mesh_for_shape(shape, base_dir):
     p = shape["props"]
     to_world = p.get("to_world", None)
     if shape["type"] == "obj":
+        from misaki_tpu.utils.fresolver import get_file_resolver
+
         fname = p["filename"]
-        path = Path(base_dir) / fname
+        path = get_file_resolver().resolve(fname, base_dir)
         if path.exists():
             return load_obj(
                 path, to_world, p.get("filp_tex_coords", p.get("flip_tex_coords", True))
@@ -542,22 +730,27 @@ def _load_mesh_for_shape(shape, base_dir):
 
 
 _INTEGRATOR_TYPES = {"path", "aov", "debug", "volpath", "direct"}
-_BSDF_TYPES = {
-    "diffuse", "roughconductor", "roughdielectric", "dielectric",
-    "twosided", "conductor", "null",
-}
 
 
 def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
                   accel=None):
     """Lower a loaded scene description to a CompiledScene."""
     base_dir = desc.get("base_dir", ".")
-    materials = _MaterialBuilder()
+    bitmap_builder = _BitmapBuilder(base_dir)
+    materials = _MaterialBuilder(bitmap_builder)
 
     # ---------------- integrator / sensor / film / sampler ----------------
     integ = _find_child(desc, _INTEGRATOR_TYPES) or {
         "type": "path", "props": {}, "children": [],
     }
+    # the aov integrator nests a child radiance integrator (aov.cpp renders
+    # the child's channels alongside the AOVs); default to volpath when the
+    # scene carries media, else path
+    aov_nested = None
+    if integ["type"] == "aov":
+        child = _find_child(integ, {"path", "volpath", "direct"})
+        if child is not None:
+            aov_nested = child["type"]
     sensor = _find_child(desc, {"perspective"})
     if sensor is None:
         raise ValueError("Scene needs a perspective sensor")
@@ -570,6 +763,22 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
     }
     W = int(width or film["props"].get("width", 640))
     H = int(height or film["props"].get("height", 320))
+    # crop window (film.cpp:14-21): the image covers only the crop rect of
+    # the full sensor; the camera mapping keeps the FULL sensor (the driver
+    # offsets raster positions by crop_offset), so perspective is unchanged.
+    # Crop props live in the film's declared pixel space; CLI width/height
+    # overrides rescale the crop with the sensor.
+    W_prop = max(int(film["props"].get("width", 640)), 1)
+    H_prop = max(int(film["props"].get("height", 320)), 1)
+    fx, fy = W / W_prop, H / H_prop
+    crop_x = int(round(int(film["props"].get("crop_offset_x", 0)) * fx))
+    crop_y = int(round(int(film["props"].get("crop_offset_y", 0)) * fy))
+    crop_w = max(int(round(int(film["props"].get("crop_width", W_prop)) * fx)), 1)
+    crop_h = max(int(round(int(film["props"].get("crop_height", H_prop)) * fy)), 1)
+    crop_x = min(max(crop_x, 0), W - 1)
+    crop_y = min(max(crop_y, 0), H - 1)
+    crop_w = min(crop_w, W - crop_x)
+    crop_h = min(crop_h, H - crop_y)
     n_spp = int(spp or sampler["props"].get("sample_count", 4))
     rfilter = _find_child(film, {"gaussian", "box"})
     filter_type = rfilter["type"] if rfilter else "gaussian"
@@ -889,6 +1098,7 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
     else:
         cluster_acc = empty_cluster_accel()
 
+    bitmap_atlas, bitmap_meta = bitmap_builder.finalize()
     ip = integ["props"]
     scene = CompiledScene(
         geometry=geom,
@@ -902,8 +1112,10 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         shape_emitter=shape_emitter,
         shape_interior_medium=np.asarray([r["interior"] for r in shape_rows], np.int32),
         shape_exterior_medium=np.asarray([r["exterior"] for r in shape_rows], np.int32),
-        film_width=W,
-        film_height=H,
+        film_width=crop_w,
+        film_height=crop_h,
+        crop_x=crop_x,
+        crop_y=crop_y,
         spp=n_spp,
         max_depth=int(max_depth if max_depth is not None else ip.get("max_depth", -1)),
         rr_depth=int(ip.get("rr_depth", 5)),
@@ -922,8 +1134,20 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         direct_light_samples=int(ip.get("light_samples", 1)),
         direct_bsdf_samples=int(ip.get("bsdf_samples", 1)),
         bsdf_kinds=materials.kinds_present(),
+        bitmaps=bitmap_atlas,
+        bitmap_meta=bitmap_meta,
+        bitmap_slots=materials.bitmap_slot_bases(),
+        aov_nested=(aov_nested if aov_nested is not None
+                    else ("volpath" if media_rows else "path")),
     )
-    return scene
+    # Upload every table to the device ONCE here: numpy leaves would be
+    # re-transferred on every jitted dispatch (no identity caching in JAX) —
+    # ~10 MB of cluster tables per render_chunk call on the tunneled
+    # backend dominated the bunny frame (250 of 298 ms, tools profiling).
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, scene)
 
 
 def load_and_compile(path, params=None, **kw):

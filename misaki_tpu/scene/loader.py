@@ -14,7 +14,10 @@ Semantics mirrored from xml.cpp:
     (xml.cpp:530-563),
   * `<spectrum>` synthesizes `uniform` for single values or `regular` for
     "lambda:value, ..." pair lists (xml.cpp:565-628),
-  * `<ref id="x">` resolves named top-level objects (xml.cpp:676-710).
+  * `<ref id="x">` resolves named top-level objects (xml.cpp:676-710),
+  * `<include filename="x.xml">` splices another scene file's children in
+    place, `<alias id="x" as="y">` re-binds a named object (xml.cpp tags
+    the reference declares but never finished — functional here).
 """
 
 import copy
@@ -145,7 +148,27 @@ def _parse_object(node, params, named, within_emitter=False):
     for ch in node:
         ctag = ch.tag.lower()
         name = ch.get("name", "")
-        if ctag == "default":
+        if ctag == "alias":
+            src = _substitute(ch.get("id", ""), params)
+            dst = _substitute(ch.get("as", ""), params)
+            if src not in named:
+                raise ValueError(f'<alias id="{src}"> not found')
+            named[dst] = named[src]
+        elif ctag == "include":
+            fname = _substitute(ch.get("filename", ""), params)
+            from misaki_tpu.utils.fresolver import get_file_resolver
+
+            inc_path = get_file_resolver().resolve(fname, _CURRENT_BASE[-1])
+            inc_root = ET.fromstring(Path(inc_path).read_text())
+            if inc_root.tag.lower() != "scene":
+                raise ValueError(f"<include> target {fname} is not a <scene>")
+            inc = _parse_object(inc_root, params, named, within_emitter)
+            obj["children"].extend(inc["children"])
+            obj["props"].update(
+                {k: v for k, v in inc["props"].items()
+                 if k not in obj["props"]}
+            )
+        elif ctag == "default":
             params.setdefault(ch.get("name"), ch.get("value"))
         elif ctag == "float":
             obj["props"][name] = float(_substitute(ch.get("value"), params))
@@ -183,6 +206,11 @@ def _parse_object(node, params, named, within_emitter=False):
     return obj
 
 
+# <include> resolution needs the enclosing file's directory; kept as a
+# stack so nested includes resolve relative to their own file
+_CURRENT_BASE = ["."]
+
+
 def load_string(text, params=None, base_dir="."):
     """Parse scene XML text -> scene description dict."""
     params = dict(params or {})
@@ -194,7 +222,11 @@ def load_string(text, params=None, base_dir="."):
     # Pre-pass: collect top-level named objects so later <ref> can see them
     # even when declared before use (the reference resolves lazily; the asset
     # scenes only reference earlier declarations, so a single pass suffices).
-    scene = _parse_object(root, params, named)
+    _CURRENT_BASE.append(str(base_dir))
+    try:
+        scene = _parse_object(root, params, named)
+    finally:
+        _CURRENT_BASE.pop()
     scene["base_dir"] = str(base_dir)
     return scene
 

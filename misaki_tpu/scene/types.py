@@ -106,7 +106,18 @@ MC_SPEC_REFL = 23  # 23-35 spectral slot: specular reflectance
 MC_SPEC_TRANS = 36  # 36-48 spectral slot: specular transmittance
 MC_ALPHA_U = 49    # 49-57 scalar slot
 MC_ALPHA_V = 58    # 58-66 scalar slot
-N_MAT_COLS = 67
+# roughplastic (bsdfs/roughplastic.cpp) extras
+MC_SSW = 67        # specular sampling weight s_mean/(d_mean+s_mean)
+MC_NONLINEAR = 68  # nonlinear internal-scattering compensation flag
+MC_FDR = 69        # fresnel_diffuse_reflectance(eta), precomputed
+# mask (bsdfs/mask.cpp): opacity-modulated nested BSDF + null lobe
+MC_MASK = 70       # 0/1 — row wraps its nested BSDF in a mask
+MC_OPACITY = 71    # 71-83 spectral slot: opacity
+N_MAT_COLS = 84
+
+# pseudo-entry in CompiledScene.bsdf_kinds marking "some material is
+# mask-wrapped" (mask is a modifier on its nested kind, not a kind itself)
+MASK_FLAG = 100
 
 SPEC_SLOT_COLS = 13
 SCALAR_SLOT_COLS = 9
@@ -262,11 +273,37 @@ class CompiledScene:
         BSDF_DIFFUSE, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
         BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_NULL,
     )
+    # nested radiance integrator rendered by the `aov` driver (aov.cpp nests
+    # an arbitrary child integrator; the loader records its kind here)
+    aov_nested: str = "path"
+    # film crop window offset in FULL-sensor raster pixels (film.cpp:14-21);
+    # film_width/height are the CROP dimensions
+    crop_x: int = 0
+    crop_y: int = 0
+    # differentiable-rendering mode (misaki_tpu.diff): attaches microfacet
+    # alpha via the detached-sampling estimator (costlier bounce kernel);
+    # training loops flip it with scene.replace(diff_mode=True)
+    diff_mode: bool = False
+    # bitmap texture atlas: all bitmap textures' mip chains flattened into
+    # one (3, Npad) linear-RGB table (fetched with one-hot matmuls); meta is
+    # a static tuple of per-texture (W0, H0, ((offset, W, H), ...per level)).
+    bitmaps: Any = field(default_factory=lambda: np.zeros((3, 8), np.float32))
+    bitmap_meta: tuple = ()
+    # static set of material-slot base columns (MC_REFL / MC_SPEC_REFL /
+    # MC_SPEC_TRANS / MC_ALPHA_*) that reference a bitmap texture — slots
+    # not listed here skip the atlas fetch entirely at trace time
+    bitmap_slots: tuple = ()
 
     _static = (
         "direct_light_samples",
         "direct_bsdf_samples",
         "bsdf_kinds",
+        "aov_nested",
+        "crop_x",
+        "crop_y",
+        "diff_mode",
+        "bitmap_meta",
+        "bitmap_slots",
         "film_width",
         "film_height",
         "spp",

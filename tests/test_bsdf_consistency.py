@@ -21,6 +21,7 @@ from misaki_tpu.bsdf import kernels as bk
 from misaki_tpu.core import warp
 from misaki_tpu.scene.types import (
     BSDF_DIFFUSE,
+    BSDF_PLASTIC,
     BSDF_ROUGH_CONDUCTOR,
     BSDF_ROUGH_DIELECTRIC,
     DIST_GGX,
@@ -48,6 +49,12 @@ def make_params(kind, alpha=0.2, eta=1.5, eta_c=(0.2, 0.92, 1.1),
         "eta_spec": bk.rgb_to_spectral(tuple(jnp.full(L, c) for c in eta_c), wav),
         "k_spec": bk.rgb_to_spectral(tuple(jnp.full(L, c) for c in k_c), wav),
         "smooth": jnp.ones(L, bool),
+        # roughplastic extras (fdr of eta=1.49 per fresnel.h d'Eon-Irving fit)
+        "ssw": ones * 0.6,
+        "fdr": ones * 0.075,
+        "nonlinear": jnp.zeros(L, bool),
+        "mask": None,
+        "opacity": None,
     }
 
 
@@ -70,6 +77,7 @@ def rand_u(seed):
     (BSDF_DIFFUSE, 0.0),
     (BSDF_ROUGH_CONDUCTOR, 0.1),
     (BSDF_ROUGH_CONDUCTOR, 0.4),
+    (BSDF_PLASTIC, 0.2),
 ])
 def test_sample_eval_pdf_crosscheck(kind, alpha):
     """weight == eval(wi, wo) / pdf(wi, wo) for sampled directions."""
@@ -124,6 +132,7 @@ def test_roughdielectric_weight_quirk():
     (BSDF_DIFFUSE, 0.0),
     (BSDF_ROUGH_CONDUCTOR, 0.3),
     (BSDF_ROUGH_DIELECTRIC, 0.3),
+    (BSDF_PLASTIC, 0.3),
 ])
 def test_pdf_normalizes(kind, alpha):
     """Uniform-sphere MC: E[pdf] * 4pi must equal the sampler's valid-sample
@@ -149,6 +158,7 @@ def test_pdf_normalizes(kind, alpha):
     (BSDF_DIFFUSE, 0.0, 0.83),           # reflectance 0.8 (+MC noise margin)
     (BSDF_ROUGH_CONDUCTOR, 0.2, 1.02),
     (BSDF_ROUGH_DIELECTRIC, 0.2, 1.03),  # both lobes, unit spec
+    (BSDF_PLASTIC, 0.2, 1.02),
 ])
 def test_furnace_energy(kind, alpha, cap):
     """integral of f cos over the sphere <= cap (white-furnace energy bound;
@@ -187,3 +197,53 @@ def test_directional_histogram_matches_pdf():
         sel = (zu >= lo) & (zu < hi)
         m_p = (pdf_u * sel).mean() * 4.0 * np.pi
         assert abs(m_s - m_p) < 0.02 + 0.15 * m_p, (lo, hi, m_s, m_p)
+
+
+def make_mask_params(nested_kind=BSDF_DIFFUSE, opacity=0.6):
+    """Mask-wrapped nested BSDF (bsdfs/mask.cpp), uniform opacity."""
+    p = make_params(nested_kind, alpha=0.2)
+    p["mask"] = jnp.ones(L, bool)
+    p["opacity"] = jnp.full((4, L), opacity)
+    return p
+
+
+def test_mask_sample_split_and_weights():
+    """Null-lobe selection frequency must match 1 - opacity-luminance; both
+    branches must carry the unbiased weights (nested: w*opacity/prob, null:
+    (1-opacity)/(1-prob) — see the mask.cpp deviation note in sample_bsdf)."""
+    op = 0.6
+    p = make_mask_params(opacity=op)
+    wi = fixed_wi()
+    u1, u2 = rand_u(11)
+    bs = bk.sample_bsdf(p, wi, u1, u2)
+    null = np.asarray(bs["null"])
+    assert abs(null.mean() - (1.0 - op)) < 0.02
+    # null lobe: exact pass-through with weight (1-op)/(1-prob) == 1 here
+    w = np.asarray(bs["weight"])
+    np.testing.assert_allclose(w[:, null], 1.0, rtol=1e-5)
+    wo = np.stack([np.asarray(c) for c in bs["wo"]], 0)
+    wi_np = np.stack([np.asarray(c) for c in wi], 0)
+    np.testing.assert_allclose(wo[:, null], -wi_np[:, null], rtol=1e-6)
+    # nested branch: weight == (eval * opacity) / (pdf * prob) == eval/pdf
+    # for uniform opacity (opacity == prob)
+    sel = ~null & np.asarray(bs["valid"])
+    f = np.asarray(bk.eval_bsdf(p, wi, bs["wo"]))       # includes x opacity
+    pdf = np.asarray(bk.pdf_bsdf(p, wi, bs["wo"]))      # includes x prob
+    ratio = f[:, sel] / np.maximum(pdf[sel], 1e-12)[None, :]
+    np.testing.assert_allclose(ratio, w[:, sel], rtol=1e-3, atol=1e-5)
+
+
+def test_mask_eval_pdf_scale():
+    """eval = nested_eval * opacity; pdf = nested_pdf * opacity-luminance."""
+    op = 0.35
+    pm = make_mask_params(opacity=op)
+    pn = make_params(BSDF_DIFFUSE, alpha=0.2)
+    wi = fixed_wi()
+    _, u2 = rand_u(4)
+    wo = warp.square_to_uniform_sphere(u2)
+    fm = np.asarray(bk.eval_bsdf(pm, wi, wo))
+    fn = np.asarray(bk.eval_bsdf(pn, wi, wo))
+    np.testing.assert_allclose(fm, fn * op, rtol=1e-5)
+    gm = np.asarray(bk.pdf_bsdf(pm, wi, wo))
+    gn = np.asarray(bk.pdf_bsdf(pn, wi, wo))
+    np.testing.assert_allclose(gm, gn * op, rtol=1e-5)

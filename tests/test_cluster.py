@@ -147,3 +147,31 @@ def test_scene_dispatch_builds_cluster_accel():
     )
     assert bunny.cluster.n_clusters > 0
     assert bunny.cluster.tri.shape[0] == bunny.cluster.n_clusters
+
+
+def test_swizzle_path_matches_unswizzled(soup):
+    """The pixel-tile coherence swizzle (production TPU data path: traverse.py
+    always passes image_cols/spp) must be a pure relayout — identical results
+    to the unswizzled call, including the in-kernel face-row fetch."""
+    acc, geom, o, d, F, L = soup
+    # image-shaped wavefront: 40 rows x 15 px x spp=1 -> L = 600 lanes
+    image_cols, spp = 15, 1
+    mint = jnp.full((L,), 1e-4)
+    maxt = jnp.full((L,), jnp.inf)
+    plain = cl.intersect_clusters(acc, o, d, mint, maxt, interpret=True)
+    swz = cl.intersect_clusters(
+        acc, o, d, mint, maxt, interpret=True, image_cols=image_cols, spp=spp
+    )
+    assert np.array_equal(np.asarray(plain["prim"]), np.asarray(swz["prim"]))
+    np.testing.assert_allclose(
+        np.asarray(plain["t"]), np.asarray(swz["t"]), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain["fd"]), np.asarray(swz["fd"])
+    )
+    occ_p = np.asarray(cl.ray_test_clusters(acc, o, d, mint, jnp.full((L,), 1.5),
+                                            interpret=True))
+    occ_s = np.asarray(cl.ray_test_clusters(acc, o, d, mint, jnp.full((L,), 1.5),
+                                            interpret=True,
+                                            image_cols=image_cols, spp=spp))
+    assert np.array_equal(occ_p, occ_s)

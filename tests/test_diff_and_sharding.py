@@ -142,3 +142,19 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_2d_host_chip_mesh_matches_1d(cbox_tiny):
+    """render_sharded_2d over a (2, 4) host-chip mesh must reproduce the 1D
+    8-device mesh image (the flattened lane split is identical)."""
+    import jax
+    from jax.sharding import Mesh
+    from misaki_tpu.parallel.sharding import render_sharded, render_sharded_2d
+
+    devices = np.asarray(jax.devices("cpu")[:8])
+    mesh1d = Mesh(devices, ("wavefront",))
+    mesh2d = Mesh(devices.reshape(2, 4), ("host", "chip"))
+    f1 = np.asarray(render_sharded(mesh1d, cbox_tiny, seed=2, depth_cap=2))
+    f2 = np.asarray(render_sharded_2d(mesh2d, cbox_tiny, seed=2, depth_cap=2))
+    mism = ~np.isclose(f1, f2, rtol=1e-3, atol=1e-5)
+    assert mism.mean() < 0.005, f"{mism.sum()}/{mism.size} texels differ"

@@ -1,0 +1,144 @@
+"""Finite-difference / gradient-flow tests for the diff-leaves registry
+(misaki_tpu.diff): envmap texels, microfacet alpha (diff_mode detached
+sampling), medium sigma amplitudes, and dielectric eta — the >= 4 parameter
+classes asked for by the round-2 verdict (BASELINE.md pixel-gradient axis).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from misaki_tpu.diff import get_leaves, replace_leaves
+from misaki_tpu.render.driver import render
+from misaki_tpu.scene.compiler import load_and_compile
+from misaki_tpu.scene.types import MC_ALPHA_U, MC_ALPHA_V, MC_ETA
+
+from tests.test_envmap import SCENE_XML, _quad_obj, _write_flat_hdr
+from tests.test_volpath import ABSORB_SLAB_XML, _slab_obj
+
+
+ROUGH_XML = """<scene version="0.6.0">
+  <integrator type="path"><integer name="max_depth" value="3"/></integrator>
+  <sensor type="perspective">
+    <float name="fov" value="60"/>
+    <transform name="to_world">
+      <lookat origin="0, 1, 4" target="0, 0.5, 0" up="0, 1, 0"/>
+    </transform>
+    <sampler type="independent"><integer name="sample_count" value="8"/></sampler>
+    <film type="hdrfilm">
+      <integer name="width" value="16"/>
+      <integer name="height" value="12"/>
+    </film>
+  </sensor>
+  <emitter type="constant"><spectrum name="radiance" value="0.01"/></emitter>
+  <shape type="obj">
+    <string name="filename" value="quad.obj"/>
+    <bsdf type="{bsdf}">
+      <float name="alpha" value="0.3"/>
+      <string name="distribution" value="ggx"/>
+    </bsdf>
+  </shape>
+</scene>
+"""
+
+
+def _scene_from_xml(tmp_path, xml, name="scene.xml"):
+    (tmp_path / name).write_text(xml)
+    return load_and_compile(str(tmp_path / name))
+
+
+def _quad_up_obj(path):
+    """Ground quad with the normal facing +y (towards the camera at y=1 —
+    test_envmap's quad faces down, which one-sided BSDFs render black)."""
+    path.write_text(
+        "v -1 0 -1\nv 1 0 -1\nv 1 0 1\nv -1 0 1\n"
+        "f 1 3 2\nf 1 4 3\n"
+    )
+
+
+def test_env_rgb_gradient_matches_fd(tmp_path):
+    """Envmap texel radiance is LINEAR in env_rgb at a fixed seed (the
+    sampling CDFs are compile-time constants), so AD must match central
+    differences essentially exactly."""
+    H, W = 8, 16
+    rgb = np.random.default_rng(0).uniform(0.2, 1.0, (H, W, 3)).astype(np.float32)
+    _write_flat_hdr(tmp_path / "env.hdr", rgb)
+    _quad_obj(tmp_path / "quad.obj")
+    xml = SCENE_XML.format(depth=2, hdr="env.hdr", scale=1.0, obj="quad.obj")
+    scene = _scene_from_xml(tmp_path, xml)
+
+    def f(vals):
+        return jnp.mean(render(replace_leaves(scene, vals), seed=1,
+                               depth_cap=2)["rgb"])
+
+    v0 = get_leaves(scene, ("env_rgb",))
+    g = jax.jit(jax.grad(f))(v0)["env_rgb"]
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    f = jax.jit(f)
+    # directional FD along the gradient
+    d = {"env_rgb": jnp.asarray(np.sign(g) * 0.05)}
+    plus = {"env_rgb": v0["env_rgb"] + d["env_rgb"]}
+    minus = {"env_rgb": v0["env_rgb"] - d["env_rgb"]}
+    fd = (float(f(plus)) - float(f(minus))) / 2.0
+    expected = float(np.sum(g * np.asarray(d["env_rgb"])))
+    assert expected > 0
+    assert abs(fd - expected) <= 0.05 * abs(expected), (fd, expected)
+
+
+def test_alpha_gradient_only_in_diff_mode(tmp_path):
+    """Microfacet alpha: zero gradient by default (perf mode detaches it),
+    finite nonzero gradient under diff_mode's detached-sampling estimator."""
+    _quad_up_obj(tmp_path / "quad.obj")
+    scene = _scene_from_xml(tmp_path, ROUGH_XML.format(bsdf="roughconductor"))
+
+    def make_f(sc):
+        def f(vals):
+            return jnp.mean(render(replace_leaves(sc, vals), seed=0,
+                                   depth_cap=2)["rgb"])
+        return jax.jit(jax.grad(f))
+
+    rows = list(range(MC_ALPHA_U, MC_ALPHA_V + 9))
+    v0 = get_leaves(scene, ("materials",))
+    g_perf = np.asarray(make_f(scene)(v0)["materials"])
+    assert np.abs(g_perf[rows]).max() == 0.0, "alpha must stay detached"
+
+    g_diff = np.asarray(make_f(scene.replace(diff_mode=True))(v0)["materials"])
+    assert np.isfinite(g_diff).all()
+    assert np.abs(g_diff[rows]).max() > 0.0, "diff_mode must attach alpha"
+
+
+def test_medium_sigma_gradient_sign(tmp_path):
+    """More absorption -> darker image: d(mean)/d(sigma_a_amp) < 0 through
+    the volpath transmittance chain."""
+    obj = _slab_obj(tmp_path)
+    scene = _scene_from_xml(tmp_path, ABSORB_SLAB_XML.replace("__slab__", obj))
+
+    def f(vals):
+        return jnp.mean(render(replace_leaves(scene, vals), seed=0,
+                               depth_cap=4)["rgb"])
+
+    v0 = get_leaves(scene, ("sigma_a_amp",))
+    g = np.asarray(jax.jit(jax.grad(f))(v0)["sigma_a_amp"])
+    assert np.isfinite(g).all()
+    assert g.max() < 0.0, f"absorption gradient must be negative, got {g}"
+
+
+def test_eta_gradient_flows(tmp_path):
+    """Fresnel eta of a rough dielectric must carry gradient (through the
+    attached fresnel/eval terms of the detached estimator)."""
+    _quad_up_obj(tmp_path / "quad.obj")
+    scene = _scene_from_xml(
+        tmp_path, ROUGH_XML.format(bsdf="roughdielectric")
+    ).replace(diff_mode=True)
+
+    def f(vals):
+        return jnp.mean(render(replace_leaves(scene, vals), seed=0,
+                               depth_cap=2)["rgb"])
+
+    v0 = get_leaves(scene, ("materials",))
+    g = np.asarray(jax.jit(jax.grad(f))(v0)["materials"])
+    assert np.isfinite(g).all()
+    assert np.abs(g[MC_ETA]).max() > 0.0, "eta gradient must flow"

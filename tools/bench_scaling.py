@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Scaling-efficiency curve (BASELINE.md row 4: >= 85% at N >= 2): renders
+the cbox workload over 1/2/4/8-device meshes and reports rays/s per device
+count plus parallel efficiency.
+
+On this box the multi-device meshes are VIRTUAL (8 forced host-platform CPU
+devices) — the curve measures the sharding/psum overhead of the program
+structure, not ICI bandwidth; run on a real pod slice for hardware numbers.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+      python tools/bench_scaling.py
+Writes SCALING.md at the repo root.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+
+
+def main():
+    from misaki_tpu.scene.compiler import load_and_compile
+    from misaki_tpu.parallel.sharding import make_mesh, render_sharded
+
+    spp = int(os.environ.get("SCALE_SPP", 16))
+    width = int(os.environ.get("SCALE_W", 128))
+    height = int(os.environ.get("SCALE_H", 128))
+    depth = 4
+    scene = load_and_compile("/root/reference/assets/cbox/scene.xml",
+                             spp=spp, width=width, height=height)
+    scene = scene.replace(max_depth=depth + 1)
+    rays = width * height * spp * (1 + 2 * depth)
+
+    n_avail = len(jax.devices())
+    counts = [n for n in (1, 2, 4, 8) if n <= n_avail]
+    rows = []
+    for n in counts:
+        mesh = make_mesh(n)
+        film = render_sharded(mesh, scene, seed=0, depth_cap=depth)
+        np.asarray(film)  # compile + sync
+        reps = 3
+        t0 = time.perf_counter()
+        for i in range(reps):
+            film = render_sharded(mesh, scene, seed=i + 1, depth_cap=depth)
+        np.asarray(film)
+        dt = (time.perf_counter() - t0) / reps
+        rows.append((n, rays / dt))
+        print(f"N={n}: {rays / dt / 1e6:8.2f} M rays/s")
+
+    base = rows[0][1]
+    lines = [
+        "# Scaling curve (virtual device mesh)",
+        "",
+        f"Workload: cbox {width}x{height}@{spp}spp, {depth}-bounce path "
+        f"({rays / 1e6:.1f} M rays/frame), `render_sharded` over a 1D mesh,",
+        f"backend: {jax.default_backend()} x {n_avail} devices "
+        "(VIRTUAL host-platform devices on this box — measures program/psum "
+        "overhead, not ICI; regenerate on a pod slice for hardware numbers).",
+        "",
+        "| devices | M rays/s | speedup | efficiency |",
+        "|---|---|---|---|",
+    ]
+    for n, rps in rows:
+        lines.append(
+            f"| {n} | {rps / 1e6:.2f} | {rps / base:.2f}x | "
+            f"{rps / base / n * 100:.0f}% |"
+        )
+    out = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
