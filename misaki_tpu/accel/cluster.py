@@ -46,8 +46,12 @@ CLUSTER_FACES = 256     # faces per cluster block (lane-axis multiple of 128)
 R_TILE = 256            # rays per grid program (sublane-axis multiple of 8)
 # Visit-list cap per tile (overflow -> full scan). The schedule arrives as
 # per-program SMEM *blocks* ((1, MAX_VISITS) rows), so the cap costs ~1 KB
-# of SMEM per program regardless of tile count.
-MAX_VISITS = 128
+# of SMEM per program regardless of tile count. Env-tunable for perf sweeps
+# alongside MISAKI_CLUSTER_FACES (smaller clusters => more of them => the
+# cap must grow to keep the sorted early-exit schedule in play).
+import os as _os
+
+MAX_VISITS = int(_os.environ.get("MISAKI_MAX_VISITS", 128))
 _BIG = 3.0e38  # plain float: jnp constants would be captured tracers in Pallas
 
 

@@ -1093,8 +1093,15 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
     bvh = build_bvh(p0, e1, e2, force_brute=(accel == "brute"))
     if accel != "brute" and F > BRUTE_FORCE_THRESHOLD:
         # face_tab rides along in cluster order so the Pallas kernel can
-        # fetch the winning face's packed row in-kernel (no global one-hot)
-        cluster_acc = build_clusters(p0, e1, e2, face_tab=geom.face_tab)
+        # fetch the winning face's packed row in-kernel (no global one-hot).
+        # MISAKI_CLUSTER_FACES overrides the block size for perf sweeps.
+        import os as _os
+
+        from misaki_tpu.accel.cluster import CLUSTER_FACES
+
+        target = int(_os.environ.get("MISAKI_CLUSTER_FACES", CLUSTER_FACES))
+        cluster_acc = build_clusters(p0, e1, e2, target=target,
+                                     face_tab=geom.face_tab)
     else:
         cluster_acc = empty_cluster_accel()
 

@@ -19,9 +19,15 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 import jax
 import numpy as np
 
+# the ambient axon plugin PREPENDS itself to jax_platforms regardless of the
+# env var (see tests/conftest.py) — override at the config level so the
+# virtual 8-device CPU mesh is actually visible
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 
 
