@@ -334,9 +334,13 @@ def _tpu_cluster_path(scene):
     )
 
 
-def intersect(scene, o, d, mint, maxt):
+def intersect(scene, o, d, mint, maxt, coherent=True):
     """Closest-hit (Scene::ray_intersect, scene.cpp:216-253). Rays are vec3
     tuples; returns {"t", "prim", "u", "v"} with t = inf on miss.
+
+    `coherent=True` marks image-ordered (primary) wavefronts — the cluster
+    path then uses the pixel-tile swizzle; `coherent=False` (bounce/shadow
+    casts) switches it to the Morton ray sort. Off-TPU paths ignore it.
 
     Detached: path geometry carries no gradients (round-1 scope, SURVEY.md
     section 7 step 6; the BVH while_loop is not reverse-differentiable).
@@ -351,6 +355,7 @@ def intersect(scene, o, d, mint, maxt):
         res = intersect_clusters(
             scene.cluster, o, d, mint, maxt,
             image_cols=scene.film_width * scene.spp, spp=scene.spp,
+            coherent=coherent,
         )
     elif scene.bvh.node_lo.shape[0] == 0:
         res = intersect_brute(scene.geometry, o, d, mint, maxt, scene.n_faces,
@@ -361,8 +366,10 @@ def intersect(scene, o, d, mint, maxt):
     return jax.tree_util.tree_map(jax.lax.stop_gradient, res)
 
 
-def ray_test(scene, o, d, mint, maxt):
-    """Shadow-ray occlusion (Scene::ray_test, scene.cpp:255-273)."""
+def ray_test(scene, o, d, mint, maxt, coherent=False):
+    """Shadow-ray occlusion (Scene::ray_test, scene.cpp:255-273).
+    Shadow rays originate at scattered hit points, so the default is the
+    incoherent (Morton-sorted) cluster schedule."""
     o = tuple(map(jax.lax.stop_gradient, o))
     d = tuple(map(jax.lax.stop_gradient, d))
     mint = jax.lax.stop_gradient(mint)
@@ -373,6 +380,7 @@ def ray_test(scene, o, d, mint, maxt):
         occ = ray_test_clusters(
             scene.cluster, o, d, mint, maxt,
             image_cols=scene.film_width * scene.spp, spp=scene.spp,
+            coherent=coherent,
         )
     elif scene.bvh.node_lo.shape[0] == 0:
         occ = ray_test_brute(scene.geometry, o, d, mint, maxt, scene.n_faces)

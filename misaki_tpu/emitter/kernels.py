@@ -55,6 +55,19 @@ def radiance_all(scene, wavelengths):
     n = scene.n_emitters
     if n == 0:
         return None
+    if n > 16:
+        # this cache (and eval_emitter/sample_emitter_direct) unrolls
+        # statically over emitters x 95 hat bins; dozens of emitters would
+        # bloat the trace the same way `direct`'s unroll does (which warns
+        # too). Skip the cache — radiance() falls back to per-call eval.
+        from misaki_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "radiance_all: %d emitters — skipping the per-chunk radiance "
+            "cache (static unroll would bloat the trace); expect slower "
+            "per-bounce emitter eval", n,
+        )
+        return None
     t = (wavelengths - CIE_MIN) * (94.0 / (CIE_MAX - CIE_MIN))
     bases = table.hat_eval_multi(
         [scene.emitters.rad_curve[ei] for ei in range(n)], t
@@ -374,6 +387,78 @@ def sample_emitter_direct(scene, ref_p, wavelengths, u2, rad=None):
         out["pdf"] = out["pdf"] * (1.0 / n)
         out["spec"] = out["spec"] * n
     out["delta"] = delta
+    return out
+
+
+def sample_emitter_ray(scene, wavelengths, u_sel, u_pos, u_dir, rad=None):
+    """Emitter::sample_ray for the photon-tracing pass
+    (integrators/{sppm,photonmapper}.cpp photon loop). The reference's
+    area-light implementation is `MSK_NOT_IMPLEMENTED` (area.cpp:20-29 —
+    upstream SPPM cannot actually run); we implement the commented-out
+    intent: area-uniform position, cosine-weighted direction, flux =
+    Le * pi / pdf_pos (so that flux integrates to emitted power), times the
+    1/sel_pdf emitter-count factor applied by the callers there.
+
+    Returns {o, d (vec3), n (vec3 surface normal; d for point lights),
+    flux (4, L), valid (L,)}. Environment emitters are skipped (valid =
+    False): inward photon emission needs a scene-bounding disk sampler the
+    reference never had either."""
+    n = scene.n_emitters
+    L = u_sel.shape[0]
+    z = jnp.zeros(L)
+    out = {
+        "o": (z, z, z), "d": (z, z, 1.0 + z), "n": (z, z, 1.0 + z),
+        "flux": jnp.zeros((4, L)), "valid": jnp.zeros(L, bool),
+    }
+    if n == 0:
+        return out
+    index = jnp.minimum((u_sel * n).astype(jnp.int32), n - 1)
+    for ei in range(n):
+        kind = scene.emitter_kinds[ei]
+        mask = index == ei
+        if kind == EM_AREA:
+            em = scene.emitters
+            cdf = em.face_cdf[ei]
+            uy = u_pos[1]
+            fmax = cdf.shape[0]
+            below = uy[None, :] > cdf[:, None]
+            idx = jnp.clip(jnp.sum(below.astype(jnp.int32), 0), 0, fmax - 1)
+            fd = table.fetch(em.face_pack[ei], idx)
+            lo, hi = fd[EF_CDF_LO], fd[EF_CDF_HI]
+            uy = jnp.clip((uy - lo) / jnp.maximum(hi - lo, 1e-20),
+                          0.0, 1.0 - 1e-7)
+            b1, b2 = warp.square_to_uniform_triangle((u_pos[0], uy))
+            p0 = (fd[EF_P0], fd[EF_P0 + 1], fd[EF_P0 + 2])
+            e1 = (fd[EF_E1], fd[EF_E1 + 1], fd[EF_E1 + 2])
+            e2 = (fd[EF_E2], fd[EF_E2 + 1], fd[EF_E2 + 2])
+            p = vec.add(p0, vec.add(vec.scale(e1, b1), vec.scale(e2, b2)))
+            ng = vec.normalize((fd[EF_NG], fd[EF_NG + 1], fd[EF_NG + 2]))
+            fr = frame.make_frame(ng)
+            d_local = warp.square_to_cosine_hemisphere(u_dir)
+            d = frame.to_world(fr, d_local)
+            # flux = Le * pi * area (pdf_pos = 1/area; the cosine direction
+            # pdf cos/pi cancels the emitted cos * 1/pi exactly)
+            amp = m.Pi * em.area[ei]
+            flux = radiance(scene, ei, wavelengths, rad) * amp
+            out["o"] = vec.where(mask, p, out["o"])
+            out["d"] = vec.where(mask, d, out["d"])
+            out["n"] = vec.where(mask, ng, out["n"])
+            out["flux"] = jnp.where(mask[None, :], flux, out["flux"])
+            out["valid"] = out["valid"] | mask
+        elif kind == EM_POINT:
+            em = scene.emitters
+            p = vec.splat3(em.position[ei], z)
+            d = warp.square_to_uniform_sphere(u_dir)
+            # radiance() stores the intensity I; flux = 4*pi*I
+            flux = radiance(scene, ei, wavelengths, rad) * (4.0 * m.Pi)
+            out["o"] = vec.where(mask, p, out["o"])
+            out["d"] = vec.where(mask, d, out["d"])
+            out["n"] = vec.where(mask, d, out["n"])
+            out["flux"] = jnp.where(mask[None, :], flux, out["flux"])
+            out["valid"] = out["valid"] | mask
+        # EM_CONSTANT / EM_ENVMAP: no photon emission (see docstring)
+    if n > 1:
+        out["flux"] = out["flux"] * n  # 1 / (uniform selection pdf)
     return out
 
 

@@ -104,13 +104,17 @@ def pick_chunk(chunk_size, spp, n_total):
     return min(chunk, -(-n_total // spp) * spp)
 
 
-def _scene_fingerprint(scene, seed, depth_cap):
+def _scene_fingerprint(scene, seed, depth_cap, chunk):
     """Cheap checkpoint-compatibility fingerprint: static config + geometry
-    size. A resumed render with a different scene/seed must be rejected."""
+    size. A resumed render with a different scene/seed must be rejected.
+    `chunk` (the RESOLVED pick_chunk value) is part of the identity:
+    next_chunk indexes chunk-sized lane ranges, so resuming under a
+    different chunk size silently skips / double-accumulates samples
+    (advisor r3 #3)."""
     return (
         f"{scene.film_width}x{scene.film_height}x{scene.spp}"
         f"|{scene.integrator}|{scene.max_depth}|{scene.n_faces}"
-        f"|{scene.n_emitters}|seed={seed}|cap={depth_cap}"
+        f"|{scene.n_emitters}|seed={seed}|cap={depth_cap}|chunk={chunk}"
     )
 
 
@@ -167,6 +171,10 @@ def render(
     image, because chunk order and per-lane RNG streams are deterministic).
     progress: optional callable(done_chunks, total_chunks) for long renders;
     defaults to log lines every ~10% when the render has multiple chunks."""
+    if scene.integrator in ("sppm", "photonmapper"):
+        from misaki_tpu.render.ppm import render_ppm
+
+        return render_ppm(scene, seed=seed, depth_cap=depth_cap)
     if scene.integrator == "aov":
         from misaki_tpu.render.aov import render_aovs
 
@@ -196,7 +204,7 @@ def render(
 
     start_chunk = 0
     film_flat = None
-    fingerprint = _scene_fingerprint(scene, seed, depth_cap)
+    fingerprint = _scene_fingerprint(scene, seed, depth_cap, chunk)
     if checkpoint_path is not None:
         resumed = load_checkpoint(checkpoint_path, fingerprint)
         if resumed is not None:

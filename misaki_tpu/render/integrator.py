@@ -134,6 +134,7 @@ def sample_path(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
             wo_world,
             jnp.where(active, new_mint, 0.0),
             jnp.where(active, jnp.inf, -1.0),
+            coherent=False,
         )
         si_next = inter.compute_interaction(
             scene, next_hit, si["p"], wo_world, wavelengths
@@ -238,6 +239,7 @@ def _attenuated_transmittance(
             scene, o, d,
             jnp.where(alive, mint, 0.0),
             jnp.where(alive, maxt, -1.0),
+            coherent=False,
         )
         si = inter.compute_interaction(scene, hit, o, d, wavelengths)
         if has_mask:
@@ -247,7 +249,15 @@ def _attenuated_transmittance(
             # a mask surface transmits (1 - opacity) and the march continues
             # through it, mirroring Scene::eval_transmittance's Null-component
             # evaluation (scene.cpp:155-183) with the mask's null lobe
-            opac = tex.eval_spectral_slot(sub[2:15], si["uv"], wavelengths)
+            # scene= wires the bitmap atlas through for bitmap opacity
+            # textures (the canonical cutout case, advisor r3 #1); without
+            # it a bitmap slot degenerates to a sigmoid of the texture id
+            opac_scene = (
+                scene if MC_OPACITY in getattr(scene, "bitmap_slots", ())
+                else None
+            )
+            opac = tex.eval_spectral_slot(sub[2:15], si["uv"], wavelengths,
+                                          scene=opac_scene)
             is_null = (kind == BSDF_NULL) | is_mask
             pass_mask = alive & si["valid"] & is_mask
             tr = jnp.where(pass_mask[None, :], tr * (1.0 - opac), tr)
@@ -457,6 +467,7 @@ def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
             scene, next_o, next_d,
             jnp.where(active, mint, 0.0),
             jnp.where(active, jnp.inf, -1.0),
+            coherent=False,
         )
         si_next = inter.compute_interaction(
             scene, next_hit, next_o, next_d, wavelengths
@@ -591,6 +602,7 @@ def sample_direct(scene, ray, rng_state):
             scene, si["p"], wo_world,
             jnp.where(go, inter.spawn_ray_mint(si["p"]), 0.0),
             jnp.where(go, jnp.inf, -1.0),
+            coherent=False,
         )
         si2 = inter.compute_interaction(scene, hit2, si["p"], wo_world, wavelengths)
         hit_area = si2["valid"] & (si2["emitter"] >= 0)

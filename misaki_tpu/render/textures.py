@@ -80,8 +80,10 @@ def bitmap_fetch_rgb(scene, tex_id, u, v, duv=None):
         tv = fv - i0
         j0i = jnp.mod(j0.astype(jnp.int32), W)
         j1i = jnp.mod(j0.astype(jnp.int32) + 1, W)
-        i0i = jnp.clip(i0.astype(jnp.int32), 0, H - 1)
-        i1i = jnp.clip(i0.astype(jnp.int32) + 1, 0, H - 1)
+        # wrap v like u (reference wraps both axes via uv - floor(uv),
+        # bitmap.cpp:31-32); clamping v left a one-texel seam on tiles
+        i0i = jnp.mod(i0.astype(jnp.int32), H)
+        i1i = jnp.mod(i0.astype(jnp.int32) + 1, H)
         acc = None
         for (ii, jj, w) in (
             (i0i, j0i, (1.0 - tu) * (1.0 - tv)),

@@ -472,7 +472,7 @@ class _MaterialBuilder:
         """Static tuple of slot base columns that reference a bitmap."""
         bases = []
         for base in (MC_REFL, MC_SPEC_REFL, MC_SPEC_TRANS,
-                     MC_ALPHA_U, MC_ALPHA_V):
+                     MC_ALPHA_U, MC_ALPHA_V, MC_OPACITY):
             if any(abs(r[base] - 2.0) < 0.25 for r in self.rows):
                 bases.append(base)
         return tuple(bases)
@@ -729,7 +729,8 @@ def _load_mesh_for_shape(shape, base_dir):
     raise ValueError(f"Unsupported shape plugin '{shape['type']}'")
 
 
-_INTEGRATOR_TYPES = {"path", "aov", "debug", "volpath", "direct"}
+_INTEGRATOR_TYPES = {"path", "aov", "debug", "volpath", "direct",
+                     "sppm", "photonmapper"}
 
 
 def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
@@ -1146,6 +1147,12 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
         bitmap_slots=materials.bitmap_slot_bases(),
         aov_nested=(aov_nested if aov_nested is not None
                     else ("volpath" if media_rows else "path")),
+        # photon mapping (sppm.cpp:349-353, photonmapper.cpp:67-69);
+        # `photon_count` is the photonmapper name, `photons` the sppm one
+        ppm_photons=int(ip.get("photon_count", ip.get("photons", 16384))),
+        ppm_iterations=int(ip.get("iterations", 8)),
+        ppm_radius=float(ip.get("initial_radius",
+                                ip.get("photon_radius", 0.0))),
     )
     # Upload every table to the device ONCE here: numpy leaves would be
     # re-transferred on every jitted dispatch (no identity caching in JAX) —

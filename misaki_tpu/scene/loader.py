@@ -162,7 +162,14 @@ def _parse_object(node, params, named, within_emitter=False):
             inc_root = ET.fromstring(Path(inc_path).read_text())
             if inc_root.tag.lower() != "scene":
                 raise ValueError(f"<include> target {fname} is not a <scene>")
-            inc = _parse_object(inc_root, params, named, within_emitter)
+            # push the included file's own directory so filenames inside it
+            # (nested includes, OBJs) resolve relative to THAT file
+            # (advisor r3 #4: they resolved against the top-level scene dir)
+            _CURRENT_BASE.append(str(Path(inc_path).parent))
+            try:
+                inc = _parse_object(inc_root, params, named, within_emitter)
+            finally:
+                _CURRENT_BASE.pop()
             obj["children"].extend(inc["children"])
             obj["props"].update(
                 {k: v for k, v in inc["props"].items()

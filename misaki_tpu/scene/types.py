@@ -293,8 +293,17 @@ class CompiledScene:
     # MC_SPEC_TRANS / MC_ALPHA_*) that reference a bitmap texture — slots
     # not listed here skip the atlas fetch entirely at trace time
     bitmap_slots: tuple = ()
+    # photon-mapping integrators (integrators/{sppm,photonmapper}.cpp):
+    # photons per pass, SPPM iteration count, and the initial gather radius
+    # (0 = auto: a fraction of the scene bounding-sphere radius)
+    ppm_photons: int = 16384
+    ppm_iterations: int = 8
+    ppm_radius: float = 0.0
 
     _static = (
+        "ppm_photons",
+        "ppm_iterations",
+        "ppm_radius",
         "direct_light_samples",
         "direct_bsdf_samples",
         "bsdf_kinds",

@@ -175,3 +175,33 @@ def test_swizzle_path_matches_unswizzled(soup):
                                             interpret=True,
                                             image_cols=image_cols, spp=spp))
     assert np.array_equal(occ_p, occ_s)
+
+
+def test_sort_reorder_path_matches_plain(soup):
+    """The secondary-cast Morton ray sort (coherent=False) must be a pure
+    permutation round-trip — identical results to the unsorted call, with
+    masked (maxt < 0) lanes compacted but still returned in lane order."""
+    acc, geom, o, d, F, L = soup
+    mint = jnp.full((L,), 1e-4)
+    maxt = jnp.full((L,), jnp.inf)
+    # mask a third of the lanes dead, like a bounce wavefront
+    dead = np.zeros(L, bool)
+    dead[::3] = True
+    maxt_m = jnp.where(jnp.asarray(dead), -1.0, maxt)
+    plain = cl.intersect_clusters(acc, o, d, mint, maxt_m, interpret=True)
+    srt = cl.intersect_clusters(acc, o, d, mint, maxt_m, interpret=True,
+                                coherent=False)
+    assert np.array_equal(np.asarray(plain["prim"]), np.asarray(srt["prim"]))
+    np.testing.assert_allclose(
+        np.asarray(plain["t"]), np.asarray(srt["t"]), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(plain["fd"]),
+                                  np.asarray(srt["fd"]))
+    assert np.asarray(srt["prim"])[dead].max() < 0  # dead lanes stay misses
+    occ_p = np.asarray(cl.ray_test_clusters(acc, o, d, mint,
+                                            jnp.full((L,), 1.5),
+                                            interpret=True))
+    occ_s = np.asarray(cl.ray_test_clusters(acc, o, d, mint,
+                                            jnp.full((L,), 1.5),
+                                            interpret=True, coherent=False))
+    assert np.array_equal(occ_p, occ_s)

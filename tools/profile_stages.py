@@ -113,6 +113,14 @@ def main():
         return bsdf.material_params(scene, si["bsdf"], si["uv"], wavelengths)
 
     p = jax.jit(stage_matparams)()
+    # restore the static fields the jit boundary turned into arrays
+    # ("kinds" is a trace-time pruning tuple; "diff" a Python bool) — the
+    # bsdf kernels branch on them with Python `in`/`if`
+    p = dict(p)
+    p["kinds"] = tuple(getattr(scene, "bsdf_kinds", ()))
+    p["diff"] = bool(getattr(scene, "diff_mode", False))
+    if p.get("mask") is not None and not hasattr(p["mask"], "dtype"):
+        p["mask"] = None
 
     def stage_nee_sample():
         u2 = (jnp.full((L,), 0.3), jnp.full((L,), 0.6))
