@@ -34,6 +34,7 @@ from misaki_tpu.scene.types import (
     BSDF_DIELECTRIC,
     BSDF_DIFFUSE,
     BSDF_NULL,
+    BSDF_DISNEY,
     BSDF_PLASTIC,
     BSDF_ROUGH_CONDUCTOR,
     BSDF_ROUGH_DIELECTRIC,
@@ -74,6 +75,15 @@ from misaki_tpu.scene.types import (
     MC_ALPHA_U,
     MC_ALPHA_V,
     MC_DISTR,
+    MC_DS_ANISO,
+    MC_DS_CC_GLOSS,
+    MC_DS_CLEARCOAT,
+    MC_DS_METALLIC,
+    MC_DS_SHEEN,
+    MC_DS_SHEEN_TINT,
+    MC_DS_SPECULAR,
+    MC_DS_SPEC_TINT,
+    MC_DS_SUBSURFACE,
     MC_ETA,
     MC_ETA_RGB,
     MC_FDR,
@@ -286,6 +296,7 @@ _DIST_MAP = {"beckmann": DIST_BECKMANN, "ggx": DIST_GGX}
 _BSDF_TYPES = {
     "diffuse", "roughconductor", "conductor", "roughdielectric",
     "dielectric", "null", "twosided", "roughplastic", "mask",
+    "disney", "disney_brdf", "principled",
 }
 
 
@@ -401,6 +412,34 @@ class _MaterialBuilder:
             d_mean = _slot_mean(dslot)
             s_mean = _slot_mean(sslot)
             row[MC_SSW] = s_mean / max(d_mean + s_mean, 1e-9)
+        elif t in ("disney", "disney_brdf", "principled"):
+            # Disney principled BRDF (bsdfs/disney_brdf.cpp:12-27): eleven
+            # textured parameters, all defaulting to 0.5 like the reference.
+            # base_color reuses the MC_REFL spectral slot, roughness the
+            # MC_ALPHA_U/V scalar slots (the kernel converts roughness ->
+            # GGX alphas itself, disney_brdf.cpp:129-131); the other nine
+            # get dedicated scalar slots.
+            row[MC_KIND] = BSDF_DISNEY
+            row[MC_REFL : MC_REFL + 13] = spectral_slot(
+                obj, "base_color", 0.5, self.bitmaps
+            )
+            r_slot = scalar_slot(obj, "roughness", 0.5, self.bitmaps)
+            row[MC_ALPHA_U : MC_ALPHA_U + 9] = r_slot
+            row[MC_ALPHA_V : MC_ALPHA_V + 9] = r_slot
+            for name, base in (
+                ("subsurface", MC_DS_SUBSURFACE),
+                ("metallic", MC_DS_METALLIC),
+                ("specular", MC_DS_SPECULAR),
+                ("specular_tint", MC_DS_SPEC_TINT),
+                ("anisotropic", MC_DS_ANISO),
+                ("sheen", MC_DS_SHEEN),
+                ("sheen_tint", MC_DS_SHEEN_TINT),
+                ("clearcoat", MC_DS_CLEARCOAT),
+                ("clearcoat_gloss", MC_DS_CC_GLOSS),
+            ):
+                row[base : base + 9] = scalar_slot(
+                    obj, name, 0.5, self.bitmaps
+                )
         elif t == "mask":
             # mask.cpp: opacity texture + ONE nested BSDF; flattened into the
             # nested row + opacity columns (the null lobe is synthesized by
@@ -472,7 +511,10 @@ class _MaterialBuilder:
         """Static tuple of slot base columns that reference a bitmap."""
         bases = []
         for base in (MC_REFL, MC_SPEC_REFL, MC_SPEC_TRANS,
-                     MC_ALPHA_U, MC_ALPHA_V, MC_OPACITY):
+                     MC_ALPHA_U, MC_ALPHA_V, MC_OPACITY,
+                     MC_DS_SUBSURFACE, MC_DS_METALLIC, MC_DS_SPECULAR,
+                     MC_DS_SPEC_TINT, MC_DS_ANISO, MC_DS_SHEEN,
+                     MC_DS_SHEEN_TINT, MC_DS_CLEARCOAT, MC_DS_CC_GLOSS):
             if any(abs(r[base] - 2.0) < 0.25 for r in self.rows):
                 bases.append(base)
         return tuple(bases)

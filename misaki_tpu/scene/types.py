@@ -23,6 +23,7 @@ BSDF_DIELECTRIC = 3       # smooth dielectric (delta lobes)
 BSDF_CONDUCTOR = 4        # smooth conductor (delta reflection; stale-set parity)
 BSDF_NULL = 5             # pass-through (mask/volume boundaries)
 BSDF_PLASTIC = 6          # rough plastic (stale-set parity)
+BSDF_DISNEY = 7           # Disney principled BRDF (stale-set parity)
 
 # Distribution types (microfacet)
 DIST_BECKMANN = 0
@@ -113,7 +114,19 @@ MC_FDR = 69        # fresnel_diffuse_reflectance(eta), precomputed
 # mask (bsdfs/mask.cpp): opacity-modulated nested BSDF + null lobe
 MC_MASK = 70       # 0/1 — row wraps its nested BSDF in a mask
 MC_OPACITY = 71    # 71-83 spectral slot: opacity
-N_MAT_COLS = 84
+# Disney principled BRDF (bsdfs/disney_brdf.cpp) — base_color lives in the
+# MC_REFL spectral slot and roughness in the MC_ALPHA_U/V scalar slots; the
+# remaining nine textured parameters get scalar slots of their own
+MC_DS_SUBSURFACE = 84    # 84-92 scalar slot
+MC_DS_METALLIC = 93      # 93-101
+MC_DS_SPECULAR = 102     # 102-110
+MC_DS_SPEC_TINT = 111    # 111-119
+MC_DS_ANISO = 120        # 120-128
+MC_DS_SHEEN = 129        # 129-137
+MC_DS_SHEEN_TINT = 138   # 138-146
+MC_DS_CLEARCOAT = 147    # 147-155
+MC_DS_CC_GLOSS = 156     # 156-164
+N_MAT_COLS = 165
 
 # pseudo-entry in CompiledScene.bsdf_kinds marking "some material is
 # mask-wrapped" (mask is a modifier on its nested kind, not a kind itself)

@@ -21,6 +21,7 @@ from misaki_tpu.bsdf import kernels as bk
 from misaki_tpu.core import warp
 from misaki_tpu.scene.types import (
     BSDF_DIFFUSE,
+    BSDF_DISNEY,
     BSDF_PLASTIC,
     BSDF_ROUGH_CONDUCTOR,
     BSDF_ROUGH_DIELECTRIC,
@@ -55,6 +56,21 @@ def make_params(kind, alpha=0.2, eta=1.5, eta_c=(0.2, 0.92, 1.1),
         "nonlinear": jnp.zeros(L, bool),
         "mask": None,
         "opacity": None,
+        # disney extras (used only by BSDF_DISNEY lanes; ALL_KINDS pruning
+        # means every hand-built dict must carry them)
+        "disney": {
+            "subsurface": ones * 0.3,
+            "metallic": ones * 0.3,
+            "specular": ones * 0.5,
+            "spec_tint": ones * 0.2,
+            "aniso": ones * 0.3,
+            "sheen": ones * 0.5,
+            "sheen_tint": ones * 0.5,
+            "clearcoat": ones * 0.8,
+            "cc_gloss": ones * 0.6,
+        },
+        "ds_spec0": spec1 * 0.3,
+        "ds_sheen": spec1 * 0.2,
     }
 
 
@@ -78,6 +94,7 @@ def rand_u(seed):
     (BSDF_ROUGH_CONDUCTOR, 0.1),
     (BSDF_ROUGH_CONDUCTOR, 0.4),
     (BSDF_PLASTIC, 0.2),
+    (BSDF_DISNEY, 0.4),
 ])
 def test_sample_eval_pdf_crosscheck(kind, alpha):
     """weight == eval(wi, wo) / pdf(wi, wo) for sampled directions."""
@@ -133,6 +150,7 @@ def test_roughdielectric_weight_quirk():
     (BSDF_ROUGH_CONDUCTOR, 0.3),
     (BSDF_ROUGH_DIELECTRIC, 0.3),
     (BSDF_PLASTIC, 0.3),
+    (BSDF_DISNEY, 0.5),
 ])
 def test_pdf_normalizes(kind, alpha):
     """Uniform-sphere MC: E[pdf] * 4pi must equal the sampler's valid-sample
@@ -159,6 +177,7 @@ def test_pdf_normalizes(kind, alpha):
     (BSDF_ROUGH_CONDUCTOR, 0.2, 1.02),
     (BSDF_ROUGH_DIELECTRIC, 0.2, 1.03),  # both lobes, unit spec
     (BSDF_PLASTIC, 0.2, 1.02),
+    (BSDF_DISNEY, 0.4, 1.10),  # sheen + clearcoat add on top of base
 ])
 def test_furnace_energy(kind, alpha, cap):
     """integral of f cos over the sphere <= cap (white-furnace energy bound;
@@ -247,3 +266,62 @@ def test_mask_eval_pdf_scale():
     gm = np.asarray(bk.pdf_bsdf(pm, wi, wo))
     gn = np.asarray(bk.pdf_bsdf(pn, wi, wo))
     np.testing.assert_allclose(gm, gn * op, rtol=1e-5)
+
+
+def test_disney_e2e_scene(tmp_path):
+    """End-to-end: a disney-material floor under the cbox-style area light
+    renders finite, non-black, and darker when metallic goes to 1 with a
+    dark base (metals kill the diffuse lobe) — exercises the compiler row
+    packing + textured slots + the full path integrator."""
+    xml = """<scene version="0.5.0">
+      <integrator type="path"><integer name="max_depth" value="3"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <transform name="to_world">
+          <lookat origin="0, 1.2, 3" target="0, 0, 0" up="0, 1, 0"/>
+        </transform>
+        <film type="hdrfilm">
+          <integer name="width" value="48"/><integer name="height" value="36"/>
+        </film>
+        <sampler type="independent"><integer name="sample_count" value="8"/></sampler>
+      </sensor>
+      <shape type="obj">
+        <string name="filename" value="floor.obj"/>
+        <bsdf type="disney">
+          <rgb name="base_color" value="0.7, 0.3, 0.2"/>
+          <float name="roughness" value="%s"/>
+          <float name="metallic" value="%s"/>
+          <float name="clearcoat" value="0.5"/>
+          <float name="sheen" value="0.4"/>
+        </bsdf>
+      </shape>
+      <shape type="obj">
+        <string name="filename" value="light.obj"/>
+        <emitter type="area"><rgb name="radiance" value="6, 6, 6"/></emitter>
+      </shape>
+    </scene>"""
+    floor = ("v -2 0 -2\nv 2 0 -2\nv 2 0 2\nv -2 0 2\n"
+             "f 1 3 2\nf 1 4 3\n")
+    light = ("v -0.5 2 -0.5\nv 0.5 2 -0.5\nv 0.5 2 0.5\nv -0.5 2 0.5\n"
+             "f 1 2 3\nf 1 3 4\n")
+    (tmp_path / "floor.obj").write_text(floor)
+    (tmp_path / "light.obj").write_text(light)
+
+    from misaki_tpu.scene.compiler import load_and_compile
+    from misaki_tpu.render.driver import render
+
+    means = {}
+    for tag, rough, met in (("dielectric", "0.4", "0.0"),
+                            ("metal", "0.4", "1.0")):
+        (tmp_path / "scene.xml").write_text(xml % (rough, met))
+        sc = load_and_compile(str(tmp_path / "scene.xml"))
+        from misaki_tpu.scene.types import BSDF_DISNEY as K
+        assert K in sc.bsdf_kinds
+        out = render(sc, seed=0)
+        rgb = np.asarray(out["rgb"])
+        assert np.isfinite(rgb).all()
+        means[tag] = rgb.mean()
+    assert means["dielectric"] > 0.01
+    # metallic=1 removes diffuse; with a warm base color under white light
+    # the specular-only floor reflects less total energy toward the camera
+    assert means["metal"] < means["dielectric"]
