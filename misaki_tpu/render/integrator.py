@@ -270,11 +270,12 @@ def _attenuated_transmittance(
         tr = jnp.where(blocked[None, :], 0.0, tr)
 
         # medium transmittance over the traveled segment (scene.cpp:160-166)
+        # — heterogeneous-aware: grid-volume lanes march the density
         seg = jnp.minimum(si["t"], remaining)
         mp = med.fetch_medium(scene, medium, wavelengths)
         tr = jnp.where(
             (alive & (medium >= 0))[None, :],
-            tr * med.eval_transmittance(mp, seg),
+            tr * med.transmittance_ray(scene, mp, medium, o, d, seg),
             tr,
         )
 
@@ -357,7 +358,9 @@ def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
 
         in_medium = medium >= 0
         mp = med.fetch_medium(scene, medium, wavelengths)
-        ms = med.sample_distance(mp, channel, u_dist, si["t"])
+        ms = med.sample_distance(mp, channel, u_dist, si["t"],
+                                 scene=scene, o=ray_o, d=ray_d,
+                                 med_ids=medium)
         medium_scatter = active & in_medium & ms["scatter"]
         surface = active & ~medium_scatter
 

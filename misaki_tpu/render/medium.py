@@ -20,6 +20,7 @@ TPU-native redesign notes
   weight 1).
 """
 
+import jax
 import jax.numpy as jnp
 
 from misaki_tpu.core import frame, math as m, table, vec
@@ -76,11 +77,183 @@ def fetch_medium(scene, med_ids, wavelengths):
     }
 
 
-def sample_distance(mp, channel, u1, tmax):
+# ---------------------------------------------------------------------------
+# spatially-varying density (reference volume.h Volume::eval + gridvolume)
+# ---------------------------------------------------------------------------
+
+HETERO_STEPS = 32  # fixed-step march resolution (static; no data-dep loops)
+
+
+def fetch_density_vol(scene, med_ids):
+    """Per-lane density-volume index (-1 = constant density 1)."""
+    med = scene.media
+    if med.kind.shape[0] == 0:
+        return jnp.full(med_ids.shape, -1, jnp.int32)
+    row = med.density_vol.astype(jnp.float32)[None, :]
+    v = table.fetch(row, jnp.maximum(med_ids, 0))[0]
+    return jnp.where(med_ids >= 0, v.astype(jnp.int32), -1)
+
+
+def grid_density(scene, vol_ids, p):
+    """Trilinear density of each lane's volume at world point p
+    (volume.h Volume::eval generalized from constant3d to grids). Grids are
+    fetched gather-free from the flat (1, Npad) atlas with bf16 one-hot
+    matmuls (core/table.fetch_lowp — the bitmap-atlas pattern); the static
+    per-volume world->unit 3x4 lives in scene.volume_meta, so lanes in
+    different volumes are handled by a masked unroll over the (few) grids.
+    vol_ids: (L,) int32, -1 -> density 1. Outside a grid's bbox: 0."""
+    meta = getattr(scene, "volume_meta", ())
+    L = p[0].shape[0]
+    out = jnp.ones(L)
+    if not meta:
+        return out
+    atlas3 = jnp.broadcast_to(scene.volumes, (3, scene.volumes.shape[1]))
+    for vi, (off, W, H, D, m12) in enumerate(meta):
+        x = m12[0] * p[0] + m12[1] * p[1] + m12[2] * p[2] + m12[3]
+        y = m12[4] * p[0] + m12[5] * p[1] + m12[6] * p[2] + m12[7]
+        z = m12[8] * p[0] + m12[9] * p[1] + m12[10] * p[2] + m12[11]
+        inside = (
+            (x >= 0.0) & (x <= 1.0) & (y >= 0.0) & (y <= 1.0)
+            & (z >= 0.0) & (z <= 1.0)
+        )
+        sel = vol_ids == vi
+        # cell-centered trilinear (clamped, like the reference's
+        # interpolation at the grid border)
+        fx = jnp.clip(x * W - 0.5, 0.0, W - 1.0)
+        fy = jnp.clip(y * H - 0.5, 0.0, H - 1.0)
+        fz = jnp.clip(z * D - 0.5, 0.0, D - 1.0)
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        z0 = jnp.floor(fz)
+        tx, ty, tz = fx - x0, fy - y0, fz - z0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        z0i = z0.astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, W - 1)
+        y1i = jnp.minimum(y0i + 1, H - 1)
+        z1i = jnp.minimum(z0i + 1, D - 1)
+        acc = jnp.zeros(L)
+        for zi, wz in ((z0i, 1.0 - tz), (z1i, tz)):
+            for yi, wy in ((y0i, 1.0 - ty), (y1i, ty)):
+                for xi, wx in ((x0i, 1.0 - tx), (x1i, tx)):
+                    idx = jnp.where(sel, off + (zi * H + yi) * W + xi, 0)
+                    acc = acc + table.fetch_lowp(atlas3, idx)[0] * (wx * wy * wz)
+        out = jnp.where(sel, jnp.where(inside, acc, 0.0), out)
+    return out
+
+
+def _march_optical_depth(scene, mp, vol_ids, o, d, t_lo, t_hi, channel, u1):
+    """Fixed-step (HETERO_STEPS) piecewise-constant march along o + t*d over
+    [t_lo, t_hi]: accumulates spectral optical depth and inverts the
+    channel's optical-depth CDF at target -log(1-u1). Returns
+    (t_scatter, found, tau_spec_at_scatter (4, L), tau_spec_total (4, L),
+    sigma_spec_at_scatter (4, L))."""
+    L = u1.shape[0]
+    span = jnp.maximum(t_hi - t_lo, 0.0)
+    dt = span / HETERO_STEPS
+    target = -jnp.log1p(-jnp.minimum(u1, 1.0 - 1e-7))
+    onehot = (
+        jnp.arange(4, dtype=jnp.int32)[:, None] == channel[None, :]
+    ).astype(jnp.float32)
+
+    def body(i, carry):
+        tau_c, tau_s, found, t_sc, tau_at, sig_at = carry
+        t_mid = t_lo + (i + 0.5) * dt
+        x = vec.add(o, vec.scale(d, t_mid))
+        rho = grid_density(scene, vol_ids, x)
+        sig_spec = mp["sigma_t"] * rho[None, :]          # (4, L)
+        sig_c = jnp.sum(sig_spec * onehot, axis=0)       # (L,)
+        step_tau = sig_c * dt
+        cross = ~found & (tau_c + step_tau >= target) & (sig_c > 0.0)
+        frac = jnp.where(
+            cross, (target - tau_c) / jnp.maximum(sig_c, _TINY), 0.0
+        )
+        t_new = t_lo + i * dt + jnp.clip(frac, 0.0, dt)
+        t_sc = jnp.where(cross, t_new, t_sc)
+        tau_at = jnp.where(
+            cross[None, :], tau_s + sig_spec * frac[None, :], tau_at
+        )
+        sig_at = jnp.where(cross[None, :], sig_spec, sig_at)
+        return (
+            tau_c + step_tau,
+            tau_s + sig_spec * dt,
+            found | cross,
+            t_sc,
+            tau_at,
+            sig_at,
+        )
+
+    z4 = jnp.zeros((4, L))
+    init = (jnp.zeros(L), z4, jnp.zeros(L, bool), jnp.full(L, jnp.inf),
+            z4, z4)
+    _, tau_s, found, t_sc, tau_at, sig_at = jax.lax.fori_loop(
+        0, HETERO_STEPS, body, init
+    )
+    return t_sc, found, tau_at, tau_s, sig_at
+
+
+def _grid_span(scene, vol_ids, o, d, tmax):
+    """[t_lo, t_hi] where the lane's grid volume can have density: the slab
+    interval of the unit cube in volume space, clipped to [0, tmax]."""
+    meta = getattr(scene, "volume_meta", ())
+    L = tmax.shape[0]
+    t_lo = jnp.zeros(L)
+    t_hi = jnp.minimum(tmax, 3e38)
+    for vi, (off, W, H, D, m12) in enumerate(meta):
+        sel = vol_ids == vi
+        ol = (
+            m12[0] * o[0] + m12[1] * o[1] + m12[2] * o[2] + m12[3],
+            m12[4] * o[0] + m12[5] * o[1] + m12[6] * o[2] + m12[7],
+            m12[8] * o[0] + m12[9] * o[1] + m12[10] * o[2] + m12[11],
+        )
+        dl = (
+            m12[0] * d[0] + m12[1] * d[1] + m12[2] * d[2],
+            m12[4] * d[0] + m12[5] * d[1] + m12[6] * d[2],
+            m12[8] * d[0] + m12[9] * d[1] + m12[10] * d[2],
+        )
+        tn = jnp.zeros(L)
+        tf = jnp.minimum(tmax, 3e38)
+        for k in range(3):
+            inv = 1.0 / jnp.where(jnp.abs(dl[k]) < 1e-20,
+                                  jnp.where(dl[k] < 0, -1e-20, 1e-20), dl[k])
+            t0 = (0.0 - ol[k]) * inv
+            t1 = (1.0 - ol[k]) * inv
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        t_lo = jnp.where(sel, jnp.minimum(tn, tf), t_lo)
+        t_hi = jnp.where(sel, tf, t_hi)
+    return t_lo, jnp.maximum(t_hi, t_lo)
+
+
+def transmittance_ray(scene, mp, med_ids, o, d, dist):
+    """Spectral transmittance along a ray segment, heterogeneous-aware:
+    grid lanes march (fixed-step quadrature), constant lanes use the closed
+    form. Replaces eval_transmittance where a ray origin/direction is known
+    (Scene::eval_transmittance, scene.cpp:160-166)."""
+    homog = eval_transmittance(mp, dist)
+    if not getattr(scene, "volume_meta", ()):
+        return homog
+    vol_ids = fetch_density_vol(scene, med_ids)
+    t_lo, t_hi = _grid_span(scene, vol_ids, o, d, dist)
+    _, _, _, tau_total, _ = _march_optical_depth(
+        scene, mp, vol_ids, o, d, t_lo, t_hi,
+        jnp.zeros(dist.shape, jnp.int32), jnp.zeros_like(dist),
+    )
+    het = jnp.exp(-tau_total)
+    return jnp.where((vol_ids >= 0)[None, :], het, homog)
+
+
+def sample_distance(mp, channel, u1, tmax, scene=None, o=None, d=None,
+                    med_ids=None):
     """HomogeneousMedium::sample_distance (homogeneous.cpp:21-50), SoA.
 
     mp: fetch_medium dict; channel: (L,) int32 hero-wavelength index in
     [0, 4); u1: (L,) uniform; tmax: (L,) distance to the surface hit.
+    With `scene`/`o`/`d`/`med_ids` given and the scene carrying grid
+    volumes, lanes whose medium has a density grid instead invert the
+    marched piecewise-constant optical depth (fixed-step quadrature; the
+    reference has no heterogeneous sampling at all — volume.h only declares
+    the eval interface).
 
     Returns {scatter (L,) bool, t (L,), pdf (L,), tr (4, L)} where
     * scatter: the free-flight ended before the surface;
@@ -105,7 +278,31 @@ def sample_distance(mp, channel, u1, tmax):
     pdf = jnp.where(scatter, pdf_scatter, pdf_escape)
     # tr.maxCoeff() < 1e-20 -> zero (homogeneous.cpp:45-46)
     tr = jnp.where(jnp.max(tr, axis=0) < 1e-20, 0.0, tr)
-    return {"scatter": scatter, "t": dist, "pdf": pdf, "tr": tr}
+    out = {"scatter": scatter, "t": dist, "pdf": pdf, "tr": tr}
+
+    if (scene is None or o is None
+            or not getattr(scene, "volume_meta", ())):
+        return out
+    vol_ids = fetch_density_vol(scene, med_ids)
+    grid_lane = vol_ids >= 0
+    t_lo, t_hi = _grid_span(scene, vol_ids, o, d, tmax)
+    t_sc, found, tau_at, tau_total, sig_at = _march_optical_depth(
+        scene, mp, vol_ids, o, d, t_lo, t_hi, channel, u1
+    )
+    h_scatter = found & (t_sc < tmax)
+    tr_h = jnp.where(h_scatter[None, :], jnp.exp(-tau_at),
+                     jnp.exp(-tau_total))
+    pdf_h = jnp.where(
+        h_scatter,
+        jnp.mean(sig_at * jnp.exp(-tau_at), axis=0),
+        jnp.mean(jnp.exp(-tau_total), axis=0),
+    )
+    return {
+        "scatter": jnp.where(grid_lane, h_scatter, scatter),
+        "t": jnp.where(grid_lane, t_sc, dist),
+        "pdf": jnp.where(grid_lane, pdf_h, pdf),
+        "tr": jnp.where(grid_lane[None, :], tr_h, tr),
+    }
 
 
 def eval_transmittance(mp, dist):

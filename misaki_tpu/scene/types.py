@@ -222,6 +222,12 @@ class MediumTable:
     sigma_a_amp: Any    # (M,)
     scale: Any     # (M,) float32
     g: Any         # (M,) float32 — HG phase anisotropy (0 = isotropic)
+    # density-volume index into CompiledScene.volume_meta (-1 = constant
+    # density 1; reference volume.h Volume::eval + volume/constant3d.cpp —
+    # the constant case folds into `scale` at compile)
+    density_vol: Any = field(
+        default_factory=lambda: np.zeros((0,), np.int32)
+    )
 
 
 @pytree_dataclass
@@ -312,8 +318,15 @@ class CompiledScene:
     ppm_photons: int = 16384
     ppm_iterations: int = 8
     ppm_radius: float = 0.0
+    # spatially-varying density volumes (reference volume.h): all grids
+    # flattened into one (1, Npad) table fetched with one-hot matmuls;
+    # volume_meta is a static tuple of (offset, W, H, D, world_to_unit
+    # 12-float row-major 3x4) per volume
+    volumes: Any = field(default_factory=lambda: np.zeros((1, 8), np.float32))
+    volume_meta: tuple = ()
 
     _static = (
+        "volume_meta",
         "ppm_photons",
         "ppm_iterations",
         "ppm_radius",
