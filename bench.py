@@ -103,6 +103,22 @@ def main():
                 extra[name] = f"error: {e}"
                 print(f"bench extra {name} failed: {e}", file=sys.stderr)
 
+    # cross-accelerator parity gate (judge r3 ask #6): the backend-sniffed
+    # routing in accel/traverse.py is otherwise unguarded on real hardware.
+    # One low-res bunny render on this backend vs a CPU subprocess (~30 s).
+    parity = "skipped"
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.check_tpu_cpu_parity import run_parity
+
+            res = run_parity(scene_names=("bunny",), verbose=False)
+            parity = ("ok" if all(s["ok"] for s in res.values())
+                      else {n: s for n, s in res.items() if not s["ok"]})
+        except Exception as e:  # pragma: no cover - keep headline alive
+            parity = f"error: {e}"
+            print(f"bench parity check failed: {e}", file=sys.stderr)
+
     baseline = 100e6  # BASELINE.json north star: >= 100M rays/s/chip
     print(
         json.dumps(
@@ -112,6 +128,7 @@ def main():
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / baseline,
                 "extra": extra,
+                "tpu_cpu_parity": parity,
             }
         )
     )

@@ -146,7 +146,6 @@ def _env_bilinear_rgb(scene, u, v):
     v clamps. Returns (r, g, b) tuples of (L,). Differentiable in env_rgb."""
     env = scene.emitters.env_rgb
     He, We = env.shape[0], env.shape[1]
-    tex = jnp.moveaxis(env, -1, 0).reshape(3, He * We)
     fu = u * We - 0.5
     fv = v * He - 0.5
     j0 = jnp.floor(fu)
@@ -157,15 +156,28 @@ def _env_bilinear_rgb(scene, u, v):
     j1i = jnp.mod(j0.astype(jnp.int32) + 1, We)
     i0i = jnp.clip(i0.astype(jnp.int32), 0, He - 1)
     i1i = jnp.clip(i0.astype(jnp.int32) + 1, 0, He - 1)
-    acc = None
-    for (ii, jj, w) in (
+    taps = (
         (i0i, j0i, (1.0 - tu) * (1.0 - tv)),
         (i0i, j1i, tu * (1.0 - tv)),
         (i1i, j0i, (1.0 - tu) * tv),
         (i1i, j1i, tu * tv),
-    ):
-        t4 = table.fetch(tex, ii * We + jj) * w[None, :]
-        acc = t4 if acc is None else acc + t4
+    )
+    from misaki_tpu.render.textures import _use_paged
+
+    paged, interp = _use_paged(He * We)
+    if paged:
+        from misaki_tpu.render.paged_fetch import paged_fetch
+
+        idx4 = jnp.stack([ii * We + jj for ii, jj, _ in taps], axis=0)
+        w4 = jnp.stack([w for _, _, w in taps], axis=0)
+        acc = paged_fetch(scene.emitters.env_pages, idx4, w4,
+                          interpret=interp)
+    else:
+        tex = jnp.moveaxis(env, -1, 0).reshape(3, He * We)
+        acc = None
+        for (ii, jj, w) in taps:
+            t4 = table.fetch(tex, ii * We + jj) * w[None, :]
+            acc = t4 if acc is None else acc + t4
     return (acc[0], acc[1], acc[2])
 
 

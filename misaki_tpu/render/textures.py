@@ -46,12 +46,29 @@ def _checker_pick(slot, uv):
     return (u > 0.5) == (v > 0.5)
 
 
+def _use_paged(n_texels):
+    """Route big tables through the Pallas paged fetch on TPU (O(pages
+    touched) instead of O(texels) per fetch — render/paged_fetch.py);
+    MISAKI_FORCE_PAGED=1 forces the kernel in interpret mode for tests."""
+    import os
+
+    import jax
+
+    if os.environ.get("MISAKI_FORCE_PAGED") == "1":
+        return True, True
+    from misaki_tpu.render.paged_fetch import PAGED_THRESHOLD
+
+    return (jax.default_backend() == "tpu"
+            and n_texels > PAGED_THRESHOLD), False
+
+
 def bitmap_fetch_rgb(scene, tex_id, u, v, duv=None):
     """Bilinear texel fetch of bitmap `tex_id` at (u, v) (wrapped, like the
     reference's uv - floor(uv), bitmap.cpp:31-32), from the mip level chosen
-    by the screen-space footprint. Unrolled statically over the texture's
-    levels; each lane contributes to exactly one level's fetch (masked).
-    Returns (r, g, b) tuples of (L,)."""
+    by the screen-space footprint. The (static) level unroll only computes
+    ABSOLUTE tap indices + weights; the texels are then fetched once — via
+    the Pallas paged kernel on TPU for large atlases, else four one-hot
+    matmuls. Returns (r, g, b) tuples of (L,)."""
     W0, H0, levels = scene.bitmap_meta[tex_id]
     u = u - jnp.floor(u)
     v = v - jnp.floor(v)
@@ -68,8 +85,9 @@ def bitmap_fetch_rgb(scene, tex_id, u, v, duv=None):
         lvl = jnp.floor(jnp.log2(jnp.maximum(fp, 1.0)))
         lvl = jnp.clip(lvl, 0.0, len(levels) - 1.0)
 
-    atlas = scene.bitmaps  # (3, Npad)
-    out = None
+    L = u.shape[0]
+    idx = [jnp.zeros(L, jnp.int32)] * 4
+    wgt = [jnp.zeros(L)] * 4
     for li, (off, W, H) in enumerate(levels):
         sel = lvl == li if li < len(levels) - 1 else lvl >= li
         fu = u * W - 0.5
@@ -84,17 +102,27 @@ def bitmap_fetch_rgb(scene, tex_id, u, v, duv=None):
         # bitmap.cpp:31-32); clamping v left a one-texel seam on tiles
         i0i = jnp.mod(i0.astype(jnp.int32), H)
         i1i = jnp.mod(i0.astype(jnp.int32) + 1, H)
-        acc = None
-        for (ii, jj, w) in (
+        for k, (ii, jj, w) in enumerate((
             (i0i, j0i, (1.0 - tu) * (1.0 - tv)),
             (i0i, j1i, tu * (1.0 - tv)),
             (i1i, j0i, (1.0 - tu) * tv),
             (i1i, j1i, tu * tv),
-        ):
-            idx = jnp.where(sel, off + ii * W + jj, 0)
-            t3 = fetch_lowp(atlas, idx) * (w * sel)[None, :]
-            acc = t3 if acc is None else acc + t3
-        out = acc if out is None else out + acc
+        )):
+            idx[k] = jnp.where(sel, off + ii * W + jj, idx[k])
+            wgt[k] = jnp.where(sel, w, wgt[k])
+
+    idx4 = jnp.stack(idx, axis=0)
+    w4 = jnp.stack(wgt, axis=0)
+    paged, interp = _use_paged(scene.bitmaps.shape[1])
+    if paged:
+        from misaki_tpu.render.paged_fetch import paged_fetch
+
+        out = paged_fetch(scene.bitmap_pages, idx4, w4, interpret=interp)
+    else:
+        atlas = scene.bitmaps  # (3, Npad)
+        out = sum(
+            fetch_lowp(atlas, idx4[k]) * w4[k][None, :] for k in range(4)
+        )
     return (out[0], out[1], out[2])
 
 

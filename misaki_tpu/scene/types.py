@@ -207,6 +207,11 @@ class EmitterTable:
     env_cond_cdf: Any  # (He, We) float32 — per-row conditional CDF
     env_to_world: Any  # (3, 3) float32 — rotation part of to_world
     env_to_local: Any  # (3, 3) float32 — inverse rotation
+    # paged layout of env_rgb for the Pallas random-access fetch
+    # (render/paged_fetch.py) — high-res maps on TPU route through it
+    env_pages: Any = field(
+        default_factory=lambda: np.zeros((1, 3, 1024), np.float32)
+    )
 
 
 @pytree_dataclass
@@ -308,6 +313,10 @@ class CompiledScene:
     # a static tuple of per-texture (W0, H0, ((offset, W, H), ...per level)).
     bitmaps: Any = field(default_factory=lambda: np.zeros((3, 8), np.float32))
     bitmap_meta: tuple = ()
+    # paged layout of `bitmaps` for the Pallas random-access fetch
+    bitmap_pages: Any = field(
+        default_factory=lambda: np.zeros((1, 3, 1024), np.float32)
+    )
     # static set of material-slot base columns (MC_REFL / MC_SPEC_REFL /
     # MC_SPEC_TRANS / MC_ALPHA_*) that reference a bitmap texture — slots
     # not listed here skip the atlas fetch entirely at trace time

@@ -137,3 +137,28 @@ def test_uv_partials_closed_form(bitmap_scene):
     fd_u = (np.asarray(sx["uv"][0]) - np.asarray(si["uv"][0]))[valid]
     # the plane is flat, so the Igehy projection is exact up to fp noise
     np.testing.assert_allclose(duv_dx_u, fd_u, rtol=2e-2, atol=2e-5)
+
+
+def test_bitmap_paged_kernel_parity(bitmap_scene, monkeypatch):
+    """The Pallas paged fetch (MISAKI_FORCE_PAGED routes it in interpret
+    mode off-TPU) must reproduce the one-hot mip fetch, including the
+    footprint-driven level select."""
+    scene, _ = bitmap_scene
+    import numpy as np
+    rng = np.random.default_rng(9)
+    L = 257  # deliberately not a tile multiple (exercises sort padding)
+    u = jnp.asarray(rng.uniform(size=L).astype(np.float32))
+    v = jnp.asarray(rng.uniform(size=L).astype(np.float32))
+    duv = (
+        (jnp.asarray(rng.uniform(0, 0.02, L).astype(np.float32)),
+         jnp.asarray(rng.uniform(0, 0.02, L).astype(np.float32))),
+        (jnp.asarray(rng.uniform(0, 0.02, L).astype(np.float32)),
+         jnp.asarray(rng.uniform(0, 0.02, L).astype(np.float32))),
+    )
+    base = np.stack([np.asarray(c) for c in
+                     tex.bitmap_fetch_rgb(scene, 0, u, v, duv)])
+    monkeypatch.setenv("MISAKI_FORCE_PAGED", "1")
+    paged = np.stack([np.asarray(c) for c in
+                      tex.bitmap_fetch_rgb(scene, 0, u, v, duv)])
+    # fetch_lowp truncates texels to bf16; the paged kernel is exact f32
+    np.testing.assert_allclose(paged, base, rtol=1e-2, atol=1e-3)
