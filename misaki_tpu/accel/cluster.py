@@ -79,12 +79,27 @@ def empty_cluster_accel():
     )
 
 
-def build_clusters(p0, e1, e2, target=CLUSTER_FACES, face_tab=None):
-    """Host-side cluster build: recursive largest-extent median split of the
-    face centroids until every cluster holds <= target faces (the two-level
-    analogue of Embree's top-down build, scene.cpp:201-212). Median splits
-    keep clusters balanced (fill factor ~75%), which matters more here than
-    SAH optimality: every visited cluster costs one full dense block."""
+def build_clusters(p0, e1, e2, target=CLUSTER_FACES, face_tab=None,
+                   pack=None):
+    """Host-side cluster build (the two-level analogue of Embree's top-down
+    build, scene.cpp:201-212). Two packers:
+
+    * ``median`` — recursive largest-extent median split until every cluster
+      holds <= target faces. Tight bounds, but average fill ~60-75%: every
+      visited cluster costs one FULL dense (target x R) MT block, so the
+      padding is pure wasted VPU work.
+    * ``morton`` — faces sorted along a 3D Morton curve of their centroids
+      and packed into consecutive FULL clusters (fill ~100%; only the last
+      cluster is partial). Measured: helps incoherent casts (figure2
+      6.9 -> 8.8 M rays/s) but the looser bounds cost coherent primaries
+      (bunny 34.5 -> 26.5).
+    * ``balanced`` (default) — recursive largest-extent splits like
+      ``median``, but the split index is the nearest TARGET-multiple of the
+      median, so every leaf except one per subtree chain holds exactly
+      `target` faces: median-quality bounds at ~full occupancy — the best
+      of both measured configurations.
+
+    MISAKI_CLUSTER_PACK overrides for perf sweeps."""
     F = len(p0)
     v0 = np.asarray(p0, np.float64)
     e1 = np.asarray(e1, np.float64)
@@ -94,19 +109,55 @@ def build_clusters(p0, e1, e2, target=CLUSTER_FACES, face_tab=None):
     tri_hi = np.maximum(np.maximum(v0, v1), v2)
     cen = 0.5 * (tri_lo + tri_hi)
 
+    if pack is None:
+        pack = _os.environ.get("MISAKI_CLUSTER_PACK", "balanced")
     clusters = []
-    stack = [np.arange(F)]
-    while stack:
-        idx = stack.pop()
-        if len(idx) <= target:
-            clusters.append(idx)
-            continue
-        c = cen[idx]
-        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-        order = np.argsort(c[:, ax], kind="stable")
-        mid = len(idx) // 2
-        stack.append(idx[order[mid:]])
-        stack.append(idx[order[:mid]])
+    if pack == "balanced":
+        stack = [np.arange(F)]
+        while stack:
+            idx = stack.pop()
+            if len(idx) <= target:
+                clusters.append(idx)
+                continue
+            c = cen[idx]
+            ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            o = np.argsort(c[:, ax], kind="stable")
+            # split at the target-multiple nearest the median: leaves end
+            # up exactly `target`-sized (except one ragged tail per chain)
+            mid = int(round(len(idx) / 2 / target)) * target
+            mid = min(max(mid, target), len(idx) - 1)
+            stack.append(idx[o[mid:]])
+            stack.append(idx[o[:mid]])
+    elif pack == "morton":
+        lo = cen.min(axis=0)
+        ext = np.maximum(cen.max(axis=0) - lo, 1e-12)
+        q = np.minimum(((cen - lo) / ext * 1024.0).astype(np.uint64), 1023)
+
+        def spread(x):
+            x &= 0x3FF
+            x = (x | (x << 16)) & 0x30000FF
+            x = (x | (x << 8)) & 0x300F00F
+            x = (x | (x << 4)) & 0x30C30C3
+            x = (x | (x << 2)) & 0x9249249
+            return x
+
+        code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+        order = np.argsort(code, kind="stable")
+        for s in range(0, F, target):
+            clusters.append(order[s : s + target])
+    else:
+        stack = [np.arange(F)]
+        while stack:
+            idx = stack.pop()
+            if len(idx) <= target:
+                clusters.append(idx)
+                continue
+            c = cen[idx]
+            ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            o = np.argsort(c[:, ax], kind="stable")
+            mid = len(idx) // 2
+            stack.append(idx[o[mid:]])
+            stack.append(idx[o[:mid]])
 
     C = len(clusters)
     Cpad = max(-(-C // 128) * 128, 128)
