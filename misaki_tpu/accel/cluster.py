@@ -44,7 +44,7 @@ from typing import Any
 
 import os as _os_knobs
 
-CLUSTER_FACES = int(_os_knobs.environ.get("MISAKI_CLUSTER_FACES", 256))
+CLUSTER_FACES = int(_os_knobs.environ.get("MISAKI_CLUSTER_FACES", 128))
 # rays per grid program (sublane-axis multiple of 8); env-tunable for the
 # perf sweep alongside MISAKI_CLUSTER_FACES / MISAKI_MAX_VISITS
 R_TILE = int(_os_knobs.environ.get("MISAKI_R_TILE", 256))
@@ -536,7 +536,16 @@ class _SortReorder:
             + (rays[5] < 0).astype(jnp.uint32)
         )
         dead = (rays[7] <= 0.0).astype(jnp.uint32)       # maxt <= 0
-        self.key = (dead << 18) | (morton << 3) | octant
+        if _os.environ.get("MISAKI_SORT_ORDER", "dir") == "dir":
+            # direction-major (default): long shadow/env rays grouped by
+            # heading first — measured figure2 9.1 -> 14.2 M rays/s vs the
+            # position-major key (bounce and NEE rays in open scenes are
+            # long, so shared heading prunes far more clusters than shared
+            # origin cell)
+            self.key = (dead << 18) | (octant << 15) | morton
+        else:
+            # position-major: groups rays by origin cell first
+            self.key = (dead << 18) | (morton << 3) | octant
         self.Lp = rays.shape[1]  # sorted wavefront keeps its length
 
     def fwd(self, rays):
