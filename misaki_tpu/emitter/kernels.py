@@ -143,7 +143,9 @@ def _env_bilinear_rgb(scene, u, v):
     """Bilinear texel fetch from the (He, We, 3) map at texel centers.
 
     Four one-hot fetches on the flat (3, He*We) table (gather-free); u wraps,
-    v clamps. Returns (r, g, b) tuples of (L,). Differentiable in env_rgb."""
+    v clamps. Returns (r, g, b) tuples of (L,). Differentiable in env_rgb on
+    the one-hot path; in diff_mode the paged Pallas kernel (which has no
+    VJP) is bypassed so the gradient path always exists (advisor r4 #2)."""
     env = scene.emitters.env_rgb
     He, We = env.shape[0], env.shape[1]
     fu = u * We - 0.5
@@ -164,7 +166,7 @@ def _env_bilinear_rgb(scene, u, v):
     )
     from misaki_tpu.render.textures import _use_paged
 
-    paged, interp = _use_paged(He * We)
+    paged, interp = _use_paged(He * We, getattr(scene, "diff_mode", False))
     if paged:
         from misaki_tpu.render.paged_fetch import paged_fetch
 

@@ -174,7 +174,13 @@ def render(
     if scene.integrator in ("sppm", "photonmapper"):
         from misaki_tpu.render.ppm import render_ppm
 
-        return render_ppm(scene, seed=seed, depth_cap=depth_cap)
+        # checkpoint/progress are honored per ITERATION by the ppm driver
+        # (chunk_size has no meaning there — the wavefront is one camera
+        # sample per pixel; advisor r4 #5)
+        return render_ppm(scene, seed=seed, depth_cap=depth_cap,
+                          checkpoint_path=checkpoint_path,
+                          checkpoint_every=checkpoint_every,
+                          progress=progress)
     if scene.integrator == "aov":
         from misaki_tpu.render.aov import render_aovs
 

@@ -365,9 +365,11 @@ def sample_volpath(scene, ray, rng_state, depth_cap=DEFAULT_MAX_DEPTH_CAP):
         surface = active & ~medium_scatter
 
         # ================= medium-interaction branch (volpath.cpp:44-74) ===
-        tp_med = throughput * mp["sigma_s"] * ms["tr"] / jnp.maximum(
-            ms["pdf"], 1e-30
-        )[None, :]
+        # sigma_s at the scatter POINT is sigma_s * rho(x) for grid media
+        # (rho == 1 homogeneous); the pdf already includes rho, so dropping
+        # it here would bias contributions by 1/rho (advisor r4 #1)
+        tp_med = throughput * (mp["sigma_s"] * ms["rho"][None, :]) * ms["tr"] \
+            / jnp.maximum(ms["pdf"], 1e-30)[None, :]
         ms_p = vec.add(ray_o, vec.scale(ray_d, ms["t"]))
         # ONE attenuated NEE shared by both branches: the reference samples
         # from ms.p (medium) or si.p (surface) — per-lane origin select keeps

@@ -260,7 +260,11 @@ def sample_distance(mp, channel, u1, tmax, scene=None, o=None, d=None,
     * t: sampled distance (only meaningful when scatter);
     * pdf: spectral-mean pdf of what happened (density if scatter, survival
       probability otherwise);
-    * tr: transmittance over the traveled segment.
+    * tr: transmittance over the traveled segment;
+    * rho: (L,) relative density at the scatter point (1 for homogeneous
+      lanes). Heterogeneous in-scattering weights sigma_s(x) = sigma_s*rho,
+      matching the rho folded into the pdf — omitting it biases scatter
+      contributions by 1/rho (advisor r4 #1).
     """
     onehot = (
         jnp.arange(4, dtype=jnp.int32)[:, None] == channel[None, :]
@@ -278,7 +282,8 @@ def sample_distance(mp, channel, u1, tmax, scene=None, o=None, d=None,
     pdf = jnp.where(scatter, pdf_scatter, pdf_escape)
     # tr.maxCoeff() < 1e-20 -> zero (homogeneous.cpp:45-46)
     tr = jnp.where(jnp.max(tr, axis=0) < 1e-20, 0.0, tr)
-    out = {"scatter": scatter, "t": dist, "pdf": pdf, "tr": tr}
+    out = {"scatter": scatter, "t": dist, "pdf": pdf, "tr": tr,
+           "rho": jnp.ones_like(pdf)}
 
     if (scene is None or o is None
             or not getattr(scene, "volume_meta", ())):
@@ -297,11 +302,16 @@ def sample_distance(mp, channel, u1, tmax, scene=None, o=None, d=None,
         jnp.mean(sig_at * jnp.exp(-tau_at), axis=0),
         jnp.mean(jnp.exp(-tau_total), axis=0),
     )
+    # relative density at the scatter point: sig_at == sigma_t * rho(x), so
+    # any non-degenerate channel recovers rho (use the hero channel)
+    sig_at_c = jnp.sum(sig_at * onehot, axis=0)
+    rho_h = sig_at_c / jnp.maximum(sigma_c, _TINY)
     return {
         "scatter": jnp.where(grid_lane, h_scatter, scatter),
         "t": jnp.where(grid_lane, t_sc, dist),
         "pdf": jnp.where(grid_lane, pdf_h, pdf),
         "tr": jnp.where(grid_lane[None, :], tr_h, tr),
+        "rho": jnp.where(grid_lane & h_scatter, rho_h, out["rho"]),
     }
 
 

@@ -46,14 +46,20 @@ def _checker_pick(slot, uv):
     return (u > 0.5) == (v > 0.5)
 
 
-def _use_paged(n_texels):
+def _use_paged(n_texels, diff_mode=False):
     """Route big tables through the Pallas paged fetch on TPU (O(pages
     touched) instead of O(texels) per fetch — render/paged_fetch.py);
-    MISAKI_FORCE_PAGED=1 forces the kernel in interpret mode for tests."""
+    MISAKI_FORCE_PAGED=1 forces the kernel in interpret mode for tests.
+
+    diff_mode forces the one-hot path: the Pallas kernel has no VJP, and the
+    one-hot matmuls transpose cleanly, so differentiable texture/env
+    optimization stays on the fetch that has gradients (advisor r4 #2)."""
     import os
 
     import jax
 
+    if diff_mode:
+        return False, False
     if os.environ.get("MISAKI_FORCE_PAGED") == "1":
         return True, True
     from misaki_tpu.render.paged_fetch import PAGED_THRESHOLD
@@ -113,7 +119,8 @@ def bitmap_fetch_rgb(scene, tex_id, u, v, duv=None):
 
     idx4 = jnp.stack(idx, axis=0)
     w4 = jnp.stack(wgt, axis=0)
-    paged, interp = _use_paged(scene.bitmaps.shape[1])
+    paged, interp = _use_paged(scene.bitmaps.shape[1],
+                               getattr(scene, "diff_mode", False))
     if paged:
         from misaki_tpu.render.paged_fetch import paged_fetch
 

@@ -51,13 +51,15 @@ def test_checkpoint_rejects_mismatched_render(scene, tmp_path):
     from misaki_tpu.render import film as film_mod
 
     ck = str(tmp_path / "film.ckpt.npz")
-    fp = driver._scene_fingerprint(scene, 3, 3)
+    chunk = driver.pick_chunk(driver.DEFAULT_CHUNK, scene.spp,
+                              scene.film_width * scene.film_height * scene.spp)
+    fp = driver._scene_fingerprint(scene, 3, 3, chunk)
     film = film_mod.new_film_flat(scene.film_height, scene.film_width, 5,
                                   scene.filter_type, scene.filter_stddev)
     driver.save_checkpoint(ck, film, 2, fp)
     # different seed -> fingerprint mismatch -> ignored (fresh render)
-    assert driver.load_checkpoint(ck, driver._scene_fingerprint(scene, 4, 3)) \
-        is None
+    assert driver.load_checkpoint(
+        ck, driver._scene_fingerprint(scene, 4, 3, chunk)) is None
     # matching fingerprint -> accepted
     got = driver.load_checkpoint(ck, fp)
     assert got is not None and got[1] == 2

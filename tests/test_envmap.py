@@ -235,10 +235,14 @@ def test_envmap_render_e2e(env_scene):
     assert img.mean() > 0.01  # env is visible + lights the quad
 
 
-def test_envmap_1024x2048_full_res(tmp_path):
+def test_envmap_1024x2048_full_res(tmp_path, monkeypatch):
     """Judge r3 ask #4: a 1024x2048 HDR must compile WITHOUT downsampling
     (ENV_MAX_RES raised; the TPU path fetches it with the Pallas paged
-    kernel) and the bilinear fetch must return the exact texel values."""
+    kernel) and the bilinear fetch must return the exact texel values.
+    The cap is backend-conditional (advisor r4 #3) — on the CPU test
+    backend the paged kernel cannot engage, so force the TPU-default cap
+    via the override env var."""
+    monkeypatch.setenv("MISAKI_ENV_MAX_RES", "1024,2048")
     H, W = 1024, 2048
     iy, ix = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     rgb = np.stack([
