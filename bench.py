@@ -74,10 +74,10 @@ def main():
         # silently change this metric's meaning whenever BENCH_DEPTH moves
         for name, path, reps, depth, kw in (
             ("bunny_debug_rays_per_s",
-             f"{asset_root}/assets/bunny/scene.xml", 5, 4, {}),
+             f"{asset_root}/assets/bunny/scene.xml", 15, 4, {}),
             ("figure2_roughconductor_rays_per_s",
              f"{asset_root}/results/Figure_2_RoughConductor/roughconductor.xml",
-             2, 4, dict(spp=16, width=320, height=180)),
+             3, 4, dict(spp=16, width=320, height=180)),
         ):
             try:
                 sc = load_and_compile(path, **kw)

@@ -388,7 +388,6 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
     out_ref[1:2, :] = u_b
     out_ref[2:3, :] = v_b
     out_ref[3:4, :] = f_b
-    out_ref[4:8, :] = jnp.zeros((4, R), jnp.float32)
     face_ref[:, :] = acc
 
 
@@ -425,7 +424,6 @@ def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, out_ref):
         cond, body, (jnp.int32(0), jnp.zeros((1, R), jnp.float32))
     )
     out_ref[0:1, :] = occ
-    out_ref[1:8, :] = jnp.zeros((7, R), jnp.float32)
 
 
 
@@ -484,6 +482,12 @@ class _Swizzle:
         )
         x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(K, self.rows_p, self.cols_p)
         return x[:, : self.rows, : self.cols].reshape(K, self.rows * self.cols)[:, :L]
+
+    def inv_multi(self, arrays, L):
+        """Inverse-relayout several (K_i, Lp) arrays without materializing
+        their concatenation first (the copy cost ~40 rows x Lp x 4 B of pure
+        HBM traffic per cast)."""
+        return [self.inv_cols(a, L) for a in arrays]
 
 
 def _part1by2(x):
@@ -560,6 +564,19 @@ class _SortReorder:
         out = jax.lax.sort((self.perm,) + tuple(x[:, :L]), num_keys=1)
         return jnp.stack(out[1:], axis=0)
 
+    def inv_multi(self, arrays, L):
+        """One co-sort for several (K_i, Lp) arrays — the rows become sort
+        operands directly, skipping the concatenated intermediate."""
+        rows = []
+        for a in arrays:
+            rows.extend(a[k, :L] for k in range(a.shape[0]))
+        out = jax.lax.sort((self.perm,) + tuple(rows), num_keys=1)
+        res, k = [], 1
+        for a in arrays:
+            res.append(jnp.stack(out[k:k + a.shape[0]], axis=0))
+            k += a.shape[0]
+        return res
+
 
 def _pack_rays(o, d, mint, maxt, image_cols=None, spp=1, reorder=None):
     """Components -> (8, Lp) lane-last ray matrix (a plain row stack: no
@@ -619,14 +636,16 @@ def _common_specs(acc, Lp):
 
 
 def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
-                       image_cols=None, spp=1, coherent=True):
+                       image_cols=None, spp=1, coherent=True, fd_rows=None):
     """Closest hit over the cluster accel; o/d vec3 tuples of (L,).
     Returns {"t", "prim", "u", "v", "fd"} with t = inf / prim = -1 on miss;
     "fd" is the winner's packed face_tab row, (T, L) — fetched inside the
     kernel (see _closest_kernel), zeros on miss. image_cols/spp (static)
     enable the pixel-tile coherence swizzle for image-ordered wavefronts;
     coherent=False (bounce/shadow casts) switches to the Morton ray sort
-    (_SortReorder) instead."""
+    (_SortReorder) instead. fd_rows (static) truncates the returned face
+    rows — callers that consume only the leading columns (the debug/aov
+    primary path needs rows < FC_E1) skip inverse-relayouting the rest."""
     bounds = jnp.asarray(acc.bounds)
     rays, L, Lp, sw = _pack_rays(
         o, d, mint, maxt, image_cols, spp,
@@ -638,15 +657,15 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
     out, face = pl.pallas_call(
         partial(_closest_kernel, acc.n_clusters),
         out_shape=(
-            jax.ShapeDtypeStruct((8, Lp), jnp.float32),   # lane-last like the
-            jax.ShapeDtypeStruct((T, Lp), jnp.float32),   # rest of the engine
+            jax.ShapeDtypeStruct((4, Lp), jnp.float32),   # t, u, v, fid
+            jax.ShapeDtypeStruct((T, Lp), jnp.float32),   # winner face rows
         ),
         grid=grid,
         in_specs=in_specs
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]         # face table
         + sched_specs,
         out_specs=(
-            pl.BlockSpec((8, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         # geometry + face tables resident in VMEM: the default 16 MB scoped
@@ -654,13 +673,20 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(rays, jnp.asarray(acc.tri), jnp.asarray(acc.tab), order, keys, count)
+    if fd_rows is not None:
+        face = face[:fd_rows]
     if sw is not None:
         # one inverse relayout/co-sort over exactly the rows that matter
-        # (t, u, v, fid + the T face rows; rows 4-7 are zeros)
-        res = sw.inv_cols(
-            jnp.concatenate([out[:4], face], axis=0)[:, : sw.Lp], L
+        # (t, u, v, fid + the T face rows; rows 4-7 are zeros) — arrays stay
+        # separate, skipping a (4+T, Lp) concat copy per cast
+        out, face = sw.inv_multi(
+            [out[:4, : sw.Lp], face[:, : sw.Lp]], L
         )
-        out, face = res[:4], res[4:]
+        # materialize the lane-order results ONCE: without the barrier XLA
+        # clones the inverse transpose into every downstream consumer fusion
+        # (compute_interaction reads ~25 fd rows -> ~25 strided re-reads of
+        # the tile-major array; measured +7 ms on a bunny frame)
+        out, face = jax.lax.optimization_barrier((out, face))
     else:
         out, face = out[:4, :L], face[:, :L]
     t = out[0]
@@ -686,11 +712,11 @@ def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
     pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
     out = pl.pallas_call(
         partial(_anyhit_kernel, acc.n_clusters),
-        out_shape=jax.ShapeDtypeStruct((8, Lp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, Lp), jnp.float32),
         grid=grid,
         in_specs=in_specs + sched_specs,
         out_specs=pl.BlockSpec(
-            (8, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            (1, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,

@@ -334,13 +334,15 @@ def _tpu_cluster_path(scene):
     )
 
 
-def intersect(scene, o, d, mint, maxt, coherent=True):
+def intersect(scene, o, d, mint, maxt, coherent=True, fd_rows=None):
     """Closest-hit (Scene::ray_intersect, scene.cpp:216-253). Rays are vec3
     tuples; returns {"t", "prim", "u", "v"} with t = inf on miss.
 
     `coherent=True` marks image-ordered (primary) wavefronts — the cluster
     path then uses the pixel-tile swizzle; `coherent=False` (bounce/shadow
     casts) switches it to the Morton ray sort. Off-TPU paths ignore it.
+    `fd_rows` (static): truncate the cluster path's in-kernel face-row
+    payload to the leading rows the caller consumes (relayout savings).
 
     Detached: path geometry carries no gradients (round-1 scope, SURVEY.md
     section 7 step 6; the BVH while_loop is not reverse-differentiable).
@@ -355,7 +357,7 @@ def intersect(scene, o, d, mint, maxt, coherent=True):
         res = intersect_clusters(
             scene.cluster, o, d, mint, maxt,
             image_cols=scene.film_width * scene.spp, spp=scene.spp,
-            coherent=coherent,
+            coherent=coherent, fd_rows=fd_rows,
         )
     elif scene.bvh.node_lo.shape[0] == 0:
         res = intersect_brute(scene.geometry, o, d, mint, maxt, scene.n_faces,

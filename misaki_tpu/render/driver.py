@@ -80,7 +80,10 @@ def _render_chunk(scene, film_flat, lane0, n_total, seed, chunk, depth_cap):
     values = tuple(
         jnp.where(in_range & jnp.isfinite(c), c, 0.0) for c in values
     )
-    pixel0 = (lane0 // scene.spp).astype(jnp.int32)
+    if isinstance(lane0, int):
+        pixel0 = lane0 // scene.spp      # static: enables the fused splat
+    else:
+        pixel0 = (lane0 // scene.spp).astype(jnp.int32)
     return film_mod.splat_aligned(
         film_flat, pixel0, pos, values,
         scene.film_width, scene.film_height, scene.spp,
@@ -270,8 +273,11 @@ def render_frame_single(scene, n_total, seed, chunk, depth_cap):
     film_flat = film_mod.new_film_flat(
         H, W, 5, scene.filter_type, scene.filter_stddev
     )
+    # lane0 = 0 as a PYTHON int: the splat's tap offsets become static, so
+    # the whole (2r+1)^2-tap gaussian accumulates in one fused pass
+    # (film.splat_aligned static-offset path)
     film_flat = _render_chunk(
-        scene, film_flat, jnp.uint32(0), n_total, seed, chunk, depth_cap
+        scene, film_flat, 0, n_total, seed, chunk, depth_cap
     )
     film = film_mod.film_from_flat(
         film_flat, H, W, scene.filter_type, scene.filter_stddev

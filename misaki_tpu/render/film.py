@@ -83,6 +83,22 @@ def splat_aligned(
     in_x = {o: ((px0 + o >= 0) & (px0 + o < W)).astype(jnp.float32) for o in offs}
     in_y = {o: ((py0 + o >= 0) & (py0 + o < H)).astype(jnp.float32) for o in offs}
 
+    if isinstance(pixel0, int):
+        # static-offset path (single-chunk frames, pixel0 == 0): every tap's
+        # flat shift is a compile-time constant, so the (2r+1)^2 adds become
+        # ONE fused elementwise pass over a padded-sum — the dynamic-slice
+        # formulation below walks the film 25 times (~0.6 GB of HBM traffic
+        # per 590k-pixel gaussian splat, ~1 ms/frame on the bunny benchmark)
+        flat = film_flat.shape[1]
+        acc = None
+        for ox, oy in taps:
+            w = wx_all[ox] * wy_all[oy] * (in_x[ox] * in_y[oy])[:, None]
+            contrib = jnp.sum(w[None, :, :] * v, axis=2)  # (C, n_pix)
+            off = guard + pixel0 + oy * W + ox
+            term = jnp.pad(contrib, ((0, 0), (off, flat - off - n_pix)))
+            acc = term if acc is None else acc + term
+        return film_flat + acc
+
     for ox, oy in taps:
         w = wx_all[ox] * wy_all[oy] * (in_x[ox] * in_y[oy])[:, None]
         contrib = jnp.sum(w[None, :, :] * v, axis=2)  # (C, n_pix)

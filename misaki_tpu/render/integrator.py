@@ -648,8 +648,13 @@ def sample_direct(scene, ray, rng_state):
 
 def sample_debug(scene, ray, rng_state):
     """The `debug` integrator (integrators/debug.cpp): |shading normal| as
-    color. Used by the bunny intersection-rate benchmark."""
-    hit = traverse.intersect(scene, ray["o"], ray["d"], ray["mint"], ray["maxt"])
+    color. Used by the bunny intersection-rate benchmark.
+
+    (Truncating the face payload with fd_rows=FC_E1 was measured ~1 ms
+    SLOWER per bunny frame than the full 36 rows — the 25-row relayout hits
+    a worse XLA tiling — so the full payload is kept deliberately.)"""
+    hit = traverse.intersect(scene, ray["o"], ray["d"], ray["mint"],
+                             ray["maxt"])
     si = inter.compute_interaction(
         scene, hit, ray["o"], ray["d"], ray["wavelengths"]
     )

@@ -172,9 +172,15 @@ def compute_interaction(scene, hit, o, d, wavelengths, fd=None, ray_diff=None):
         "prim": hit["prim"],
         "bsdf": jnp.where(valid, fd[FC_BSDF].astype(jnp.int32), 0),
         "emitter": jnp.where(valid, fd[FC_EMITTER].astype(jnp.int32) - 1, -1),
-        # medium transition data (interaction.cpp:11-21): -1 = none
-        "med_int": jnp.where(valid, fd[FC_MED_INT].astype(jnp.int32) - 1, -1),
-        "med_ext": jnp.where(valid, fd[FC_MED_EXT].astype(jnp.int32) - 1, -1),
+        # medium transition data (interaction.cpp:11-21): -1 = none. A
+        # truncated fd (intersect(..., fd_rows=...) callers that need no
+        # medium columns) yields the no-transition default.
+        "med_int": (jnp.where(valid, fd[FC_MED_INT].astype(jnp.int32) - 1, -1)
+                    if fd.shape[0] > FC_MED_INT
+                    else jnp.full_like(prim, -1)),
+        "med_ext": (jnp.where(valid, fd[FC_MED_EXT].astype(jnp.int32) - 1, -1)
+                    if fd.shape[0] > FC_MED_EXT
+                    else jnp.full_like(prim, -1)),
     }
 
 

@@ -1299,7 +1299,14 @@ def compile_scene(desc, spp=None, width=None, height=None, max_depth=None,
 
         from misaki_tpu.accel.cluster import CLUSTER_FACES
 
-        target = int(_os.environ.get("MISAKI_CLUSTER_FACES", CLUSTER_FACES))
+        # Cluster granularity tuned to the workload the scene declares
+        # (measured r5): coherent primary-only integrators (debug/aov) are
+        # fastest with small tight clusters (bunny 63 -> 89 M rays/s at
+        # CF 128 -> 48); bounce-heavy integrators pay per-visit overhead on
+        # their incoherent casts and prefer big clusters (figure2 13.6 M at
+        # CF=128 vs 9.9 M at CF=48). MISAKI_CLUSTER_FACES overrides both.
+        default_cf = 48 if integ["type"] in ("debug", "aov") else CLUSTER_FACES
+        target = int(_os.environ.get("MISAKI_CLUSTER_FACES", default_cf))
         cluster_acc = build_clusters(p0, e1, e2, target=target,
                                      face_tab=geom.face_tab)
     else:
