@@ -248,8 +248,13 @@ def _cull_order(rays, bounds, n_clusters):
     valid = (bounds[0] <= bounds[3])[None, :]
     possible = (tn_lower <= tf_upper) & valid
     key = jnp.where(possible, tn_lower, _BIG)        # (nt, Cpad)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    key_sorted = jnp.sort(key, axis=1)
+    # ONE co-sort for both the sorted keys and the permutation (argsort +
+    # sort were two independent full sorts — measured ~0.4 ms/frame on
+    # bunny-scale wavefronts)
+    iota = jnp.broadcast_to(
+        jnp.arange(key.shape[1], dtype=jnp.int32)[None, :], key.shape
+    )
+    key_sorted, order = jax.lax.sort((key, iota), dimension=1, num_keys=1)
     count = jnp.sum(key < _BIG, axis=1, keepdims=True).astype(jnp.int32)
     # Cap the visit list at MAX_VISITS columns; the rare tile whose frustum
     # spans more clusters falls back to a full identity-order scan,
@@ -258,13 +263,22 @@ def _cull_order(rays, bounds, n_clusters):
     # is skipped once every ray's committed hit beats its entry distance).
     overflow = count[:, 0] > MAX_VISITS
     count = jnp.where(overflow[:, None], -n_clusters, count)
+    order_t = order[:, :MAX_VISITS]
+    # per-visit cluster AABBs riding along in SMEM: the kernels gate each
+    # MT block on an EXACT per-ray slab test (the schedule's tile-interval
+    # cull is conservative — a visit many tiles keep is often hit by zero
+    # of a tile's actual rays, especially on incoherent secondary casts)
+    sched_bounds = jnp.stack(
+        [bounds[k][order_t] for k in range(6)], axis=1
+    )                                                # (nt, 6, MAXV)
     # singleton middle axis: TPU BlockSpecs demand the block's trailing two
     # dims either be (8k, 128k)-aligned or EQUAL the array's — (1, 1, MAXV)
     # blocks over (nt, 1, MAXV) arrays satisfy the equality form
     return (
-        order[:, None, :MAX_VISITS],
+        order_t[:, None, :],
         key_sorted[:, None, :MAX_VISITS],
         count[:, None, :],
+        sched_bounds,
     )
 
 
@@ -314,8 +328,27 @@ def _mt_cluster(rays, blk, t_cap):
     return t, u, v, hit
 
 
+def _slab_gate(rays, inv, sb_ref, kk, t_best):
+    """EXACT per-ray slab test of the tile's rays against visit kk's cluster
+    AABB (6 scalar SMEM reads + ~25 (1, R) vector ops — ~100x cheaper than
+    the dense MT block it can skip). Returns a scalar: does ANY ray enter
+    the box closer than its committed hit?"""
+    lo = (sb_ref[0, 0, kk], sb_ref[0, 1, kk], sb_ref[0, 2, kk])
+    hi = (sb_ref[0, 3, kk], sb_ref[0, 4, kk], sb_ref[0, 5, kk])
+    tn = rays["mint"]
+    tf = jnp.minimum(t_best, _BIG)
+    for a, (o_k, i_k) in enumerate(
+        ((rays["ox"], inv[0]), (rays["oy"], inv[1]), (rays["oz"], inv[2]))
+    ):
+        t0 = (lo[a] - o_k) * i_k
+        t1 = (hi[a] - o_k) * i_k
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    return jnp.max(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
+
+
 def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
-                    out_ref, face_ref):
+                    sb_ref, out_ref, face_ref):
     """MT walk over the precomputed per-tile visit list (front-to-back),
     with the early exit that makes the walk sub-linear in C: the schedule's
     sorted entry keys arrive in SMEM, and the while_loop terminates as soon
@@ -340,6 +373,9 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
     n_raw = cnt_ref[0, 0, 0]
     full = n_raw < 0                           # visit-list overflow: full scan
     n = jnp.where(full, -n_raw, n_raw)
+    # hoisted per-ray reciprocal directions for the per-visit slab gate
+    inv = (_safe_rcp(rays["dx"]), _safe_rcp(rays["dy"]),
+           _safe_rcp(rays["dz"]))
 
     def cond(s):
         k, t_b, _u, _v, _f, _acc = s
@@ -354,33 +390,45 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
         kk = jnp.minimum(k, MAX_VISITS - 1)
         c = jnp.where(full, k, ord_ref[0, 0, kk])
         c = jnp.minimum(c, C - 1)              # min() guards VMEM OOB (pads
-        blk = tri_ref[c]                       # never reach here once culled)
-        fid = blk[:, 9:10]
-        t, u, v, hit = _mt_cluster(rays, blk, t_b)         # (B, R)
-        tm = jnp.where(hit & (fid >= 0.0), t, _BIG)
-        tmin = jnp.min(tm, axis=0, keepdims=True)          # (1, R)
-        sel = tm <= tmin
-        fwin = jnp.max(jnp.where(sel, fid, -1.0), axis=0, keepdims=True)
-        sel2 = sel & (fid == fwin)                         # (B, R) winner mask
-        um = jnp.max(jnp.where(sel2, u, -_BIG), axis=0, keepdims=True)
-        vm = jnp.max(jnp.where(sel2, v, -_BIG), axis=0, keepdims=True)
-        take = tmin < t_b                                  # (1, R)
-        # the winner mask doubles as the face-row fetch one-hot: one
-        # canonical (T, B) x (B, R) MXU matmul, zero relayouts
-        onehot = (sel2 & take).astype(jnp.float32)
-        row = jax.lax.dot_general(
-            tab_ref[c], onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (
-            k + 1,
-            jnp.where(take, tmin, t_b),
-            jnp.where(take, um, u_b),
-            jnp.where(take, vm, v_b),
-            jnp.where(take, fwin, f_b),
-            jnp.where(take, row, acc),
-        )
+                                               # never reach here once culled)
+        # second-level cull: the schedule's tile-interval test is
+        # conservative — skip the whole dense block when this tile's actual
+        # rays all miss the cluster's AABB (scalar branch; the full-scan
+        # fallback has no scheduled bounds and always runs)
+        gate = full | _slab_gate(rays, inv, sb_ref, kk, t_b)
+
+        def do_mt(s2):
+            t_b, u_b, v_b, f_b, acc = s2
+            blk = tri_ref[c]
+            fid = blk[:, 9:10]
+            t, u, v, hit = _mt_cluster(rays, blk, t_b)     # (B, R)
+            tm = jnp.where(hit & (fid >= 0.0), t, _BIG)
+            tmin = jnp.min(tm, axis=0, keepdims=True)      # (1, R)
+            sel = tm <= tmin
+            fwin = jnp.max(jnp.where(sel, fid, -1.0), axis=0, keepdims=True)
+            sel2 = sel & (fid == fwin)                     # (B, R) winner mask
+            um = jnp.max(jnp.where(sel2, u, -_BIG), axis=0, keepdims=True)
+            vm = jnp.max(jnp.where(sel2, v, -_BIG), axis=0, keepdims=True)
+            take = tmin < t_b                              # (1, R)
+            # the winner mask doubles as the face-row fetch one-hot: one
+            # canonical (T, B) x (B, R) MXU matmul, zero relayouts
+            onehot = (sel2 & take).astype(jnp.float32)
+            row = jax.lax.dot_general(
+                tab_ref[c], onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (
+                jnp.where(take, tmin, t_b),
+                jnp.where(take, um, u_b),
+                jnp.where(take, vm, v_b),
+                jnp.where(take, fwin, f_b),
+                jnp.where(take, row, acc),
+            )
+
+        s2 = jax.lax.cond(gate, do_mt, lambda s2: s2,
+                          (t_b, u_b, v_b, f_b, acc))
+        return (k + 1,) + s2
 
     init = (jnp.int32(0), t0, z, z, z - 1.0, jnp.zeros((T, R), jnp.float32))
     _, t_b, u_b, v_b, f_b, acc = jax.lax.while_loop(cond, body, init)
@@ -391,7 +439,8 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
     face_ref[:, :] = acc
 
 
-def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, out_ref):
+def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, sb_ref,
+                   out_ref):
     rays = _ray_components(rays_ref)
     R = rays["ox"].shape[1]
     n_raw = cnt_ref[0, 0, 0]
@@ -400,6 +449,8 @@ def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, out_ref):
     # shrinking exit bound: a cluster is only worth visiting while its entry
     # key is within some still-unoccluded ray's range (pads have maxt = -1)
     maxt_cap = jnp.minimum(rays["maxt"], _BIG)
+    inv = (_safe_rcp(rays["dx"]), _safe_rcp(rays["dy"]),
+           _safe_rcp(rays["dz"]))
 
     def cond(s):
         k, occ = s
@@ -412,13 +463,22 @@ def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, out_ref):
         k, occ = s
         kk = jnp.minimum(k, MAX_VISITS - 1)
         c = jnp.minimum(jnp.where(full, k, ord_ref[0, 0, kk]), C - 1)
-        blk = tri_ref[c]
-        fid = blk[:, 9:10]
-        _, _, _, hit = _mt_cluster(rays, blk, rays["maxt"])
-        any_hit = jnp.max(
-            jnp.where(hit & (fid >= 0.0), 1.0, 0.0), axis=0, keepdims=True
-        )
-        return k + 1, jnp.maximum(occ, any_hit)
+        # second-level cull (see _closest_kernel): exact per-ray slab gate,
+        # with still-unoccluded ranges as the t caps
+        caps = jnp.where(occ > 0.5, -1.0, maxt_cap)
+        gate = full | _slab_gate(rays, inv, sb_ref, kk, caps)
+
+        def do_mt(occ):
+            blk = tri_ref[c]
+            fid = blk[:, 9:10]
+            _, _, _, hit = _mt_cluster(rays, blk, rays["maxt"])
+            any_hit = jnp.max(
+                jnp.where(hit & (fid >= 0.0), 1.0, 0.0), axis=0,
+                keepdims=True,
+            )
+            return jnp.maximum(occ, any_hit)
+
+        return k + 1, jax.lax.cond(gate, do_mt, lambda o: o, occ)
 
     _, occ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.zeros((1, R), jnp.float32))
@@ -631,6 +691,8 @@ def _common_specs(acc, Lp):
                      memory_space=pltpu.SMEM),   # keys  (nt, 1, MAXV) f32
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),   # count (nt, 1, 1) i32
+        pl.BlockSpec((1, 6, MAX_VISITS), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),   # visit AABBs (nt, 6, MAXV)
     ]
     return pl, pltpu, (Lp // R_TILE,), in_specs, sched_specs
 
@@ -651,7 +713,7 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
         o, d, mint, maxt, image_cols, spp,
         reorder=None if coherent else bounds,
     )
-    order, keys, count = _cull_order(rays, bounds, acc.n_clusters)
+    order, keys, count, sbounds = _cull_order(rays, bounds, acc.n_clusters)
     pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
     T = acc.tab.shape[1]
     out, face = pl.pallas_call(
@@ -672,7 +734,8 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
         # budget is too small for ~100k-face scenes (v5e has 128 MB VMEM)
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(rays, jnp.asarray(acc.tri), jnp.asarray(acc.tab), order, keys, count)
+    )(rays, jnp.asarray(acc.tri), jnp.asarray(acc.tab), order, keys, count,
+      sbounds)
     if fd_rows is not None:
         face = face[:fd_rows]
     if sw is not None:
@@ -708,7 +771,7 @@ def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
         o, d, mint, maxt, image_cols, spp,
         reorder=None if coherent else bounds,
     )
-    order, keys, count = _cull_order(rays, bounds, acc.n_clusters)
+    order, keys, count, sbounds = _cull_order(rays, bounds, acc.n_clusters)
     pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
     out = pl.pallas_call(
         partial(_anyhit_kernel, acc.n_clusters),
@@ -720,7 +783,7 @@ def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
         ),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(rays, jnp.asarray(acc.tri), order, keys, count)
+    )(rays, jnp.asarray(acc.tri), order, keys, count, sbounds)
     if sw is not None:
         out = sw.inv_cols(out[0:1, : sw.Lp], L)
     else:

@@ -18,9 +18,32 @@ Leaves:
   sigma_s_amp — (M,) homogeneous-medium scattering amplitude.
   sigma_a_amp — (M,) absorption amplitude.
   medium_scale— (M,) overall sigma scale (media/homogeneous.cpp `scale`).
-"""
+  bitmaps     — (3, Npad) bitmap-texture atlas texels (all mip chains; the
+                bilinear/mip fetch in render/textures.py is linear in
+                these). Texture optimization differentiates the base level
+                THROUGH the mip chain only if the chain is rebuilt by the
+                caller; at fixed mips each level gets its own gradient.
+  volumes     — (1, Npad) grid-volume density table (trilinear taps in
+                render/medium.py are linear in the densities).
+
+Replacers that own a paged-table shadow (env_rgb -> env_pages, bitmaps ->
+bitmap_pages) regenerate it with a traced jnp repack so the TPU paged-fetch
+primal stays consistent after a replace; gradients flow through the one-hot
+path, which diff_mode selects (the Pallas fetch has no VJP)."""
 
 from dataclasses import replace as dc_replace
+
+
+def _jnp_pack_pages(table):
+    """Traced twin of render.paged_fetch.pack_pages: (C, N) -> (P, C, PAGE)."""
+    import jax.numpy as jnp
+
+    from misaki_tpu.render.paged_fetch import PAGE
+
+    C, N = table.shape
+    npad = -(-N // PAGE) * PAGE
+    out = jnp.pad(table, ((0, 0), (0, npad - N)))
+    return jnp.transpose(out.reshape(C, npad // PAGE, PAGE), (1, 0, 2))
 
 
 def _rep_materials(scene, v):
@@ -34,6 +57,25 @@ def _rep_emitter(field):
     return rep
 
 
+def _rep_env_rgb(scene, v):
+    """env texels + their paged shadow (keeps the TPU fetch primal in sync)."""
+    import jax.numpy as jnp
+
+    He, We = v.shape[0], v.shape[1]
+    pages = _jnp_pack_pages(jnp.transpose(v, (2, 0, 1)).reshape(3, He * We))
+    return scene.replace(
+        emitters=dc_replace(scene.emitters, env_rgb=v, env_pages=pages)
+    )
+
+
+def _rep_bitmaps(scene, v):
+    return scene.replace(bitmaps=v, bitmap_pages=_jnp_pack_pages(v))
+
+
+def _rep_volumes(scene, v):
+    return scene.replace(volumes=v)
+
+
 def _rep_media(field):
     def rep(scene, v):
         return scene.replace(media=dc_replace(scene.media, **{field: v}))
@@ -45,10 +87,12 @@ DIFF_LEAVES = {
     "materials": (lambda s: s.materials.params, _rep_materials),
     "rad_coeff": (lambda s: s.emitters.rad_coeff, _rep_emitter("rad_coeff")),
     "rad_curve": (lambda s: s.emitters.rad_curve, _rep_emitter("rad_curve")),
-    "env_rgb": (lambda s: s.emitters.env_rgb, _rep_emitter("env_rgb")),
+    "env_rgb": (lambda s: s.emitters.env_rgb, _rep_env_rgb),
     "sigma_s_amp": (lambda s: s.media.sigma_s_amp, _rep_media("sigma_s_amp")),
     "sigma_a_amp": (lambda s: s.media.sigma_a_amp, _rep_media("sigma_a_amp")),
     "medium_scale": (lambda s: s.media.scale, _rep_media("scale")),
+    "bitmaps": (lambda s: s.bitmaps, _rep_bitmaps),
+    "volumes": (lambda s: s.volumes, _rep_volumes),
 }
 
 

@@ -209,14 +209,14 @@ def _env_pdf_sa(scene, u, v, sin_t):
     return p * (He * We) / denom
 
 
-def _sample_envmap_emitter(scene, ei, ref_p, wavelengths, u2, rad=None):
+def _env_sample_dir(scene, u2):
     """2D CDF importance sampling of the lat-long map: row from the marginal
     CDF, column from the row's conditional CDF, sub-texel position by sample
-    reuse; pdf converted to solid angle with the sin-theta Jacobian."""
+    reuse; pdf converted to solid angle with the sin-theta Jacobian.
+    Returns (d toward the environment, solid-angle pdf, u, v)."""
     em = scene.emitters
     He, We = em.env_pmf.shape
     ux, uy = u2
-    L = ux.shape[0]
 
     # --- row: compare-count against the (He,) marginal CDF ---
     marg = em.env_marg_cdf
@@ -239,6 +239,15 @@ def _sample_envmap_emitter(scene, ei, ref_p, wavelengths, u2, rad=None):
     d, sin_t = _env_uv_to_dir(scene, u, v)
     pdf = _env_pdf_sa(scene, u, v, sin_t)
     pdf = jnp.where(sin_t > 1e-6, pdf, 0.0)
+    return d, pdf, u, v
+
+
+def _sample_envmap_emitter(scene, ei, ref_p, wavelengths, u2, rad=None):
+    """Direct sampling of the envmap via the shared 2D-CDF direction
+    sampler (_env_sample_dir)."""
+    em = scene.emitters
+    L = u2[0].shape[0]
+    d, pdf, u, v = _env_sample_dir(scene, u2)
 
     from misaki_tpu.bsdf.kernels import rgb_to_spectral
 
@@ -414,9 +423,13 @@ def sample_emitter_ray(scene, wavelengths, u_sel, u_pos, u_dir, rad=None):
     1/sel_pdf emitter-count factor applied by the callers there.
 
     Returns {o, d (vec3), n (vec3 surface normal; d for point lights),
-    flux (4, L), valid (L,)}. Environment emitters are skipped (valid =
-    False): inward photon emission needs a scene-bounding disk sampler the
-    reference never had either."""
+    flux (4, L), valid (L,)}. Infinite emitters (constant / envmap) use the
+    standard bounding-disk sampler (the reference never had one —
+    sppm.cpp:233-260 pre-dates its envmap): pick an inward direction w
+    (uniform sphere, or the envmap's 2D texel CDF), then a point on the
+    scene-bsphere-radius disk perpendicular to w tangent to the bsphere;
+    flux = Le(w) * pi r^2 / pdf_dir (disk position pdf 1/(pi r^2) cancels
+    the disk area)."""
     n = scene.n_emitters
     L = u_sel.shape[0]
     z = jnp.zeros(L)
@@ -470,7 +483,38 @@ def sample_emitter_ray(scene, wavelengths, u_sel, u_pos, u_dir, rad=None):
             out["n"] = vec.where(mask, d, out["n"])
             out["flux"] = jnp.where(mask[None, :], flux, out["flux"])
             out["valid"] = out["valid"] | mask
-        # EM_CONSTANT / EM_ENVMAP: no photon emission (see docstring)
+        elif kind in (EM_CONSTANT, EM_ENVMAP):
+            em = scene.emitters
+            if kind == EM_ENVMAP:
+                d_env, pdf_dir, u, v = _env_sample_dir(scene, u_dir)
+                from misaki_tpu.bsdf.kernels import rgb_to_spectral
+
+                rgb = _env_bilinear_rgb(scene, u, v)
+                le = jnp.maximum(rgb_to_spectral(rgb, wavelengths), 0.0)
+            else:
+                d_env = warp.square_to_uniform_sphere(u_dir)
+                pdf_dir = warp.square_to_uniform_sphere_pdf(d_env)
+                le = radiance(scene, ei, wavelengths, rad)
+            w = vec.neg(d_env)                   # photon travel direction
+            r = jnp.maximum(em.bsphere_radius, 1e-4)
+            fr = frame.make_frame(w)
+            dx, dy = warp.square_to_uniform_disk_concentric(u_pos)
+            c = vec.splat3(em.bsphere_center, z)
+            o = vec.add(
+                vec.add(c, vec.scale(d_env, r)),
+                vec.add(vec.scale(fr["s"], dx * r), vec.scale(fr["t"], dy * r)),
+            )
+            ok = pdf_dir > 0.0
+            flux = jnp.where(
+                ok[None, :],
+                le * (m.Pi * r * r) / jnp.maximum(pdf_dir, 1e-20)[None, :],
+                0.0,
+            )
+            out["o"] = vec.where(mask, o, out["o"])
+            out["d"] = vec.where(mask, w, out["d"])
+            out["n"] = vec.where(mask, w, out["n"])
+            out["flux"] = jnp.where(mask[None, :], flux, out["flux"])
+            out["valid"] = out["valid"] | (mask & ok)
     if n > 1:
         out["flux"] = out["flux"] * n  # 1 / (uniform selection pdf)
     return out

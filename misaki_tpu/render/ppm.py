@@ -22,11 +22,15 @@ Differences from the reference (documented, deliberate):
     (value/tau) accumulates in XYZ across iterations, which keeps the
     estimator consistent as wavelengths rotate.
   * Visible points are stored at diffuse-lobe hits (diffuse / roughplastic
-    rows); the reference additionally parks *glossy* visible points at the
-    depth cap (sppm.cpp:146-151) and evaluates their full BSDF pairwise —
-    a kd-tree-free dense formulation of that costs O(pairs x GGX) and buys
-    little, so glossy-terminated camera paths here contribute through the
-    regular emitter/env terms only.
+    rows); in sppm mode the reference additionally parks *glossy* visible
+    points when the camera path hits the depth cap (sppm.cpp:146-151) and
+    evaluates their full BSDF pairwise at the photon's frame
+    (sppm.cpp:263-268: wi = photon's local incoming, wo = photon-frame
+    projection of vp.wi, f divided by cos_theta(wo)) — implemented here as
+    a vmapped per-pair eval over GLOSSY_BLOCK photon sub-blocks
+    (_density_blocks_glossy), traced only when the scene has glossy lobes.
+    Note the dense form pays O(photons x pixels) GGX evals — fine at
+    photon-mapping budgets, but the dominant cost when it triggers.
   * The photonmapper shares the SPPM loop with a fixed radius and no
     radius shrink: `iterations` camera passes each retrace `photon_count`
     photons (the reference traces one global map and takes a single camera
@@ -46,9 +50,22 @@ from misaki_tpu.render import interaction as inter
 from misaki_tpu.accel import traverse
 from misaki_tpu.bsdf import kernels as bsdf
 from misaki_tpu.emitter import kernels as emitter
-from misaki_tpu.scene.types import BSDF_DIFFUSE, BSDF_PLASTIC
+from misaki_tpu.scene.types import (
+    BSDF_DIFFUSE,
+    BSDF_DISNEY,
+    BSDF_PLASTIC,
+    BSDF_ROUGH_CONDUCTOR,
+    BSDF_ROUGH_DIELECTRIC,
+)
 
 PHOTON_BLOCK = 2048  # photons per dense density-estimation block
+# photons per GLOSSY pair-eval sub-block (each costs a (GLOSSY_BLOCK, 4, L)
+# BSDF-eval intermediate — kept small so XLA can stream the reduction)
+import os as _os
+
+GLOSSY_BLOCK = int(_os.environ.get("MISAKI_PPM_GLOSSY_BLOCK", 64))
+
+_GLOSSY_KINDS = (BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC, BSDF_DISNEY)
 
 
 def _depth_budget(scene, depth_cap):
@@ -63,6 +80,43 @@ def _diffuse_vp_mask(kind, kinds):
     if BSDF_PLASTIC in kinds:
         ok = ok | (kind == BSDF_PLASTIC)
     return ok
+
+
+def _glossy_vp_mask(kind, kinds):
+    ok = jnp.zeros_like(kind, dtype=bool)
+    for k in _GLOSSY_KINDS:
+        if k in kinds:
+            ok = ok | (kind == k)
+    return ok
+
+
+def _has_glossy(kinds):
+    return any(k in kinds for k in _GLOSSY_KINDS)
+
+
+def _where_tree(mask, new, old):
+    """Masked merge of a material-params dict (nested dicts of lane arrays;
+    static entries — kind tuples, python bools, None — pass through)."""
+    if new is None or old is None:
+        return new
+    if isinstance(new, dict):
+        return {k: _where_tree(mask, new[k], old.get(k)) for k in new}
+    if isinstance(new, (tuple, bool, int, float, str)):
+        return new  # static config (e.g. p["kinds"], p["diff"])
+    arr = jnp.asarray(new)
+    m = mask[None, :] if arr.ndim == 2 else mask
+    return jnp.where(m, arr, old)
+
+
+def _zero_tree(p):
+    """Zero-filled skeleton matching a material-params dict (statics kept)."""
+    if p is None:
+        return None
+    if isinstance(p, dict):
+        return {k: _zero_tree(v) for k, v in p.items()}
+    if isinstance(p, (tuple, bool, int, float, str)):
+        return p
+    return jnp.zeros_like(p)
 
 
 def _camera_pass(scene, it, seed, wavelengths, wav_weight, depth_budget,
@@ -97,6 +151,7 @@ def _camera_pass(scene, it, seed, wavelengths, wav_weight, depth_budget,
     beta = jnp.ones((4, L))
     active = si["valid"]
     specular = jnp.zeros(L, bool)
+    glossy_vps = sppm_mode and _has_glossy(scene.bsdf_kinds)
     vp = {
         "p": (jnp.zeros(L), jnp.zeros(L), jnp.zeros(L)),
         "wi": (jnp.zeros(L), jnp.zeros(L), jnp.ones(L)),
@@ -104,6 +159,10 @@ def _camera_pass(scene, it, seed, wavelengths, wav_weight, depth_budget,
         "beta": jnp.zeros((4, L)),
         "rho": jnp.zeros((4, L)),
         "valid": jnp.zeros(L, bool),
+        # glossy visible points (sppm.cpp:146-151): parked at the depth cap,
+        # evaluated pairwise with the stored material params (mat)
+        "glossy": jnp.zeros(L, bool),
+        "mat": None,
     }
     if scene.has_environment and not scene.hide_emitters:
         env = emitter.eval_environment(scene, d, wavelengths, rad)
@@ -148,19 +207,40 @@ def _camera_pass(scene, it, seed, wavelengths, wav_weight, depth_budget,
                 (possible & ~occ)[None, :], beta * ds["spec"] * f_nee, 0.0
             )
 
-        # park the visible point at the first diffuse-lobe hit
+        # park the visible point at the first diffuse-lobe hit — only on a
+        # side the camera can shade (one-sided lobes seen from behind must
+        # NOT collect photons through the surface; the path tracer's eval
+        # returns 0 there), with the normal flipped to the camera side for
+        # twosided materials so the photon cos tests match the flip
         is_diffuse = _diffuse_vp_mask(p["kind"], kinds)
-        store = active & is_diffuse & ~vp["valid"]
-        n_sh = si["sh"]["n"]
+        front = frame.cos_theta(si["wi"]) > 0.0
+        shadeable = front | p["twosided"]
+        store = active & is_diffuse & shadeable & ~vp["valid"]
+        n_sh = vec.where(front, si["sh"]["n"], vec.neg(si["sh"]["n"]))
+        # ... and, in sppm mode, a GLOSSY visible point when the camera path
+        # hits the depth cap on a glossy lobe (sppm.cpp:146-151): the pair
+        # sum then evaluates the stored full BSDF instead of rho/pi
+        store_g = jnp.zeros_like(store)
+        if glossy_vps and depth == depth_budget - 1:
+            store_g = (active & _glossy_vp_mask(p["kind"], kinds)
+                       & shadeable & ~vp["valid"])
+        store_any = store | store_g
         vp = {
-            "p": vec.where(store, si["p"], vp["p"]),
-            "wi": vec.where(store, vec.neg(d), vp["wi"]),
-            "n": vec.where(store, n_sh, vp["n"]),
-            "beta": jnp.where(store[None, :], beta, vp["beta"]),
+            "p": vec.where(store_any, si["p"], vp["p"]),
+            "wi": vec.where(store_any, vec.neg(d), vp["wi"]),
+            "n": vec.where(store_any, n_sh, vp["n"]),
+            "beta": jnp.where(store_any[None, :], beta, vp["beta"]),
+            # rho stays 0 on glossy lanes: the diffuse matmul path zeroes out
             "rho": jnp.where(store[None, :], p["reflectance"], vp["rho"]),
-            "valid": vp["valid"] | store,
+            "valid": vp["valid"] | store_any,
+            "glossy": vp["glossy"] | store_g,
+            "mat": vp["mat"],
         }
-        active = active & ~store
+        if glossy_vps:
+            if vp["mat"] is None:
+                vp["mat"] = _zero_tree(p)
+            vp["mat"] = _where_tree(store_g, p, vp["mat"])
+        active = active & ~store_any
 
         if depth == depth_budget - 1:
             break
@@ -244,13 +324,75 @@ def _density_blocks(vp, radius2, ph_p, ph_wi, ph_n, ph_flux, ph_ok,
                     + wy[:, None] * vp["n"][1][None, :]
                     + wz[:, None] * vp["n"][2][None, :])
         mask = (within & (cosw > 0.0) & ok[:, None]
-                & vp["valid"][None, :]).astype(jnp.float32)
+                & (vp["valid"] & ~vp["glossy"])[None, :]).astype(jnp.float32)
         phi = phi + jax.lax.dot_general(
             fx, mask, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         mc = mc + jnp.sum(mask, axis=0)
         return phi, mc
+
+    init = (jnp.zeros((4, L)), jnp.zeros(L))
+    if nb == 1:
+        return body(0, init)
+    return jax.lax.fori_loop(0, nb, body, init)
+
+
+def _density_blocks_glossy(vp, radius2, ph_p, ph_sh, ph_wi_local, ph_flux,
+                           ph_ok):
+    """Pairwise full-BSDF density estimation for GLOSSY visible points
+    (sppm.cpp:263-268): the vp's stored BSDF is evaluated at the PHOTON's
+    shading frame — wi = the photon's local incoming direction, wo = the
+    photon-frame projection of vp.wi — and divided by cos_theta(wo), exactly
+    the reference pair term (for diffuse lobes this reduces to rho/pi, which
+    is what the dense matmul path computes). Each photon needs its own
+    (4, L) eval, so the block is vmapped over GLOSSY_BLOCK-photon chunks
+    instead of the single matmul. Returns (phi (4, L), m (L,))."""
+    L = radius2.shape[0]
+    P = ph_ok.shape[0]
+    nb = -(-P // GLOSSY_BLOCK)
+    gl = vp["valid"] & vp["glossy"]
+    mat = vp["mat"]
+    wi_cam = vp["wi"]  # world-space camera direction at the vp
+
+    def one_photon(ph):
+        sh = ph["sh"]
+        wo = (
+            sh["s"][0] * wi_cam[0] + sh["s"][1] * wi_cam[1]
+            + sh["s"][2] * wi_cam[2],
+            sh["t"][0] * wi_cam[0] + sh["t"][1] * wi_cam[1]
+            + sh["t"][2] * wi_cam[2],
+            sh["n"][0] * wi_cam[0] + sh["n"][1] * wi_cam[1]
+            + sh["n"][2] * wi_cam[2],
+        )                                           # (L,) each
+        wi = tuple(jnp.broadcast_to(c, (L,)) for c in ph["wi"])
+        f = bsdf.eval_bsdf(mat, wi, wo)             # (4, L) = f * cos(wo)
+        cz = wo[2]
+        safe = jnp.abs(cz) > 1e-4
+        f = jnp.where(safe[None, :], f / jnp.where(safe, cz, 1.0)[None, :],
+                      0.0)
+        dx = ph["p"][0] - vp["p"][0]
+        dy = ph["p"][1] - vp["p"][1]
+        dz = ph["p"][2] - vp["p"][2]
+        within = dx * dx + dy * dy + dz * dz < radius2
+        pair = within & gl & ph["ok"]
+        contrib = jnp.where(pair[None, :], f * ph["flux"][:, None], 0.0)
+        m = (pair & (jnp.max(jnp.abs(f), axis=0) > 0.0)).astype(jnp.float32)
+        return contrib, m
+
+    def body(b, carry):
+        phi, mc = carry
+        s = b * GLOSSY_BLOCK
+        sl = lambda a: jax.lax.dynamic_slice(a, (s,), (GLOSSY_BLOCK,))
+        ph = {
+            "p": tuple(sl(c) for c in ph_p),
+            "wi": tuple(sl(c) for c in ph_wi_local),
+            "sh": {k: tuple(sl(c) for c in ph_sh[k]) for k in ("s", "t", "n")},
+            "flux": jnp.stack([sl(ph_flux[c]) for c in range(4)], axis=1),
+            "ok": sl(ph_ok),
+        }
+        contrib, m = jax.vmap(one_photon)(ph)       # (GB, 4, L), (GB, L)
+        return phi + jnp.sum(contrib, axis=0), mc + jnp.sum(m, axis=0)
 
     init = (jnp.zeros((4, L)), jnp.zeros(L))
     if nb == 1:
@@ -284,7 +426,9 @@ def _photon_pass(scene, it, seed, wavelengths, vp, radius2, depth_budget,
     alive = er["valid"]
     L = radius2.shape[0]
     phi = jnp.zeros((4, L))
+    phi_g = jnp.zeros((4, L))  # glossy-vp pair sums (full-BSDF estimator)
     mc = jnp.zeros(L)
+    glossy = sppm_mode and vp.get("mat") is not None
 
     mint0 = m.RayEpsilon * (1.0 + vec.max_abs(o))
     hit = traverse.intersect(
@@ -308,6 +452,12 @@ def _photon_pass(scene, it, seed, wavelengths, vp, radius2, depth_budget,
                 tuple(flux[c] for c in range(4)), alive, sppm_mode,
             )
             phi, mc = phi + dphi, mc + dmc
+            if glossy:
+                gphi, gmc = _density_blocks_glossy(
+                    vp, radius2, si["p"], si["sh"], si["wi"],
+                    tuple(flux[c] for c in range(4)), alive,
+                )
+                phi_g, mc = phi_g + gphi, mc + gmc
 
         if depth == depth_budget - 1:
             break
@@ -336,7 +486,7 @@ def _photon_pass(scene, it, seed, wavelengths, vp, radius2, depth_budget,
                                        wavelengths)
         alive = alive & si["valid"]
 
-    return phi, mc
+    return phi, phi_g, mc
 
 
 @partial(jax.jit, static_argnames=("depth_budget", "sppm_mode"),
@@ -355,11 +505,12 @@ def _ppm_iteration(scene, st, it, seed, depth_budget, sppm_mode):
                                           wav_weight, depth_budget,
                                           sppm_mode, rad)
     radius2 = st["radius"] * st["radius"]
-    phi, mcount = _photon_pass(scene, it, seed, wavelengths, vp, radius2,
-                               depth_budget, sppm_mode, rad)
+    phi, phi_g, mcount = _photon_pass(scene, it, seed, wavelengths, vp,
+                                      radius2, depth_budget, sppm_mode, rad)
 
-    # vp-side factors: rho/pi and the path throughput (see _density_blocks)
-    phi_spec = vp["beta"] * vp["rho"] * (m.InvPi) * phi
+    # vp-side factors: rho/pi and the path throughput for the diffuse pair
+    # sum (see _density_blocks); glossy pairs already carry their full BSDF
+    phi_spec = vp["beta"] * (vp["rho"] * m.InvPi * phi + phi_g)
 
     # hero-wavelength MIS weight, then XYZ accumulation (per-iteration
     # wavelengths rotate, so cross-iteration state must be spectral-free)

@@ -40,7 +40,7 @@ def main():
         ray["o"], ray["d"], ray["mint"], ray["maxt"],
         image_cols=W * spp, spp=spp,
     )
-    order, keys, count = cl._cull_order(
+    order, keys, count, _sb = cl._cull_order(
         rays_packed, jnp.asarray(scene.cluster.bounds), scene.cluster.n_clusters
     )
     cnt = np.asarray(count).reshape(-1)

@@ -77,7 +77,7 @@ def main():
     )
     rays_packed = rays_packed.block_until_ready()
     bounds = jnp.asarray(acc.bounds)
-    order, keys, count = jax.jit(
+    order, keys, count, sbounds = jax.jit(
         lambda r: cl._cull_order(r, bounds, acc.n_clusters))(rays_packed)
     order = order.block_until_ready()
 
@@ -113,14 +113,15 @@ def main():
 
     @jax.jit
     def st_cull(s):
-        o, k, c = cl._cull_order(rays_packed + s * 1e-12, bounds,
-                                 acc.n_clusters)
-        return jnp.sum(k[:, 0, 0]) + jnp.sum(c).astype(jnp.float32)
+        o, k, c, sb = cl._cull_order(rays_packed + s * 1e-12, bounds,
+                                     acc.n_clusters)
+        return (jnp.sum(k[:, 0, 0]) + jnp.sum(c).astype(jnp.float32)
+                + jnp.sum(sb[:, 0, 0]))
 
     tri = jnp.asarray(acc.tri)
     tab = jnp.asarray(acc.tab)
 
-    def kernel_only(rp, odr, ky, cn):
+    def kernel_only(rp, odr, ky, cn, sb):
         from functools import partial
         from jax.experimental import pallas as pl  # noqa: F401
 
@@ -143,12 +144,13 @@ def main():
                               memory_space=pltpu.VMEM),
             ),
             compiler_params=cl._compiler_params(),
-        )(rp, tri, tab, odr, ky, cn)
+        )(rp, tri, tab, odr, ky, cn, sb)
         return out
 
     @jax.jit
     def st_kernel(s):
-        out = kernel_only(rays_packed + s * 1e-12, order, keys, count)
+        out = kernel_only(rays_packed + s * 1e-12, order, keys, count,
+                          sbounds)
         return jnp.sum(out[0])
 
     @jax.jit
