@@ -698,7 +698,8 @@ def _common_specs(acc, Lp):
 
 
 def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
-                       image_cols=None, spp=1, coherent=True, fd_rows=None):
+                       image_cols=None, spp=1, coherent=True, fd_rows=None,
+                       raw=False):
     """Closest hit over the cluster accel; o/d vec3 tuples of (L,).
     Returns {"t", "prim", "u", "v", "fd"} with t = inf / prim = -1 on miss;
     "fd" is the winner's packed face_tab row, (T, L) — fetched inside the
@@ -707,7 +708,15 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
     coherent=False (bounce/shadow casts) switches to the Morton ray sort
     (_SortReorder) instead. fd_rows (static) truncates the returned face
     rows — callers that consume only the leading columns (the debug/aov
-    primary path needs rows < FC_E1) skip inverse-relayouting the rest."""
+    primary path needs rows < FC_E1) skip inverse-relayouting the rest.
+
+    raw=True (static) skips the inverse relayout entirely and returns the
+    TILE-MAJOR results plus the relayout handle: extra keys "o"/"d" (the
+    packed ray rows, (Lp,)), "sw" (call sw.inv_multi to return rows to lane
+    order) and "n_lanes". Shading is pointwise, so callers can run the whole
+    interaction/shade chain in tile order and inverse-relayout only their
+    final few output rows (the debug frame relayouted 40 rows per cast —
+    ~1-2 ms of pure transpose traffic on bunny-scale wavefronts)."""
     bounds = jnp.asarray(acc.bounds)
     rays, L, Lp, sw = _pack_rays(
         o, d, mint, maxt, image_cols, spp,
@@ -738,6 +747,19 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
       sbounds)
     if fd_rows is not None:
         face = face[:fd_rows]
+    if raw and sw is not None:
+        prim = out[3].astype(jnp.int32)
+        return {
+            "t": jnp.where(prim >= 0, out[0], jnp.inf),
+            "prim": prim,
+            "u": out[1],
+            "v": out[2],
+            "fd": face,
+            "o": (rays[0], rays[1], rays[2]),
+            "d": (rays[3], rays[4], rays[5]),
+            "sw": sw,
+            "n_lanes": L,
+        }
     if sw is not None:
         # one inverse relayout/co-sort over exactly the rows that matter
         # (t, u, v, fid + the T face rows; rows 4-7 are zeros) — arrays stay

@@ -334,7 +334,8 @@ def _tpu_cluster_path(scene):
     )
 
 
-def intersect(scene, o, d, mint, maxt, coherent=True, fd_rows=None):
+def intersect(scene, o, d, mint, maxt, coherent=True, fd_rows=None,
+              raw=False):
     """Closest-hit (Scene::ray_intersect, scene.cpp:216-253). Rays are vec3
     tuples; returns {"t", "prim", "u", "v"} with t = inf on miss.
 
@@ -357,7 +358,7 @@ def intersect(scene, o, d, mint, maxt, coherent=True, fd_rows=None):
         res = intersect_clusters(
             scene.cluster, o, d, mint, maxt,
             image_cols=scene.film_width * scene.spp, spp=scene.spp,
-            coherent=coherent, fd_rows=fd_rows,
+            coherent=coherent, fd_rows=fd_rows, raw=raw,
         )
     elif scene.bvh.node_lo.shape[0] == 0:
         res = intersect_brute(scene.geometry, o, d, mint, maxt, scene.n_faces,
@@ -365,7 +366,17 @@ def intersect(scene, o, d, mint, maxt, coherent=True, fd_rows=None):
         res["t"] = jnp.where(res["prim"] >= 0, res["t"], jnp.inf)
     else:
         res = intersect_bvh(scene.bvh, scene.geometry, o, d, mint, maxt)
-    return jax.tree_util.tree_map(jax.lax.stop_gradient, res)
+    # relayout handle + static lane count: opaque/static, not gradient
+    # leaves (tree_map's stop_gradient would lift the int into a traced
+    # array and break static slicing downstream)
+    sw = res.pop("sw", None)
+    n_lanes = res.pop("n_lanes", None)
+    res = jax.tree_util.tree_map(jax.lax.stop_gradient, res)
+    if sw is not None:
+        res["sw"] = sw
+    if n_lanes is not None:
+        res["n_lanes"] = n_lanes
+    return res
 
 
 def ray_test(scene, o, d, mint, maxt, coherent=False):

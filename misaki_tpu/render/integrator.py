@@ -669,14 +669,30 @@ def sample_debug(scene, ray, rng_state):
     """The `debug` integrator (integrators/debug.cpp): |shading normal| as
     color. Used by the bunny intersection-rate benchmark.
 
-    (Truncating the face payload with fd_rows=FC_E1 was measured ~1 ms
-    SLOWER per bunny frame than the full 36 rows — the 25-row relayout hits
-    a worse XLA tiling — so the full payload is kept deliberately.)"""
+    On the cluster path the whole shade chain runs in TILE order (raw=True):
+    the interaction/normal math is pointwise, so only the 3 final rgb rows
+    are inverse-relayouted instead of the hit record's 4 + 36 face rows —
+    the per-cast transpose traffic that capped the benchmark. (An earlier
+    attempt that kept lane order but truncated the payload with
+    fd_rows=FC_E1 measured ~1 ms SLOWER — partial-row relayouts hit a worse
+    XLA tiling.)"""
     hit = traverse.intersect(scene, ray["o"], ray["d"], ray["mint"],
-                             ray["maxt"])
-    si = inter.compute_interaction(
-        scene, hit, ray["o"], ray["d"], ray["wavelengths"]
-    )
+                             ray["maxt"], raw=True)
+    sw = hit.pop("sw", None)
+    if sw is None:
+        si = inter.compute_interaction(
+            scene, hit, ray["o"], ray["d"], ray["wavelengths"]
+        )
+        n = si["sh"]["n"]
+        rgb = tuple(jnp.where(si["valid"], jnp.abs(c), 0.0) for c in n)
+        return rgb, rng_state
+    L = hit.pop("n_lanes")
+    o_t, d_t = hit.pop("o"), hit.pop("d")
+    si = inter.compute_interaction(scene, hit, o_t, d_t, None)
     n = si["sh"]["n"]
-    rgb = tuple(jnp.where(si["valid"], jnp.abs(c), 0.0) for c in n)
-    return rgb, rng_state
+    rgb_t = jnp.stack(
+        [jnp.where(si["valid"], jnp.abs(c), 0.0) for c in n], axis=0
+    )
+    (rgb,) = sw.inv_multi([rgb_t[:, : sw.Lp]], L)
+    rgb = jax.lax.optimization_barrier(rgb)
+    return (rgb[0], rgb[1], rgb[2]), rng_state

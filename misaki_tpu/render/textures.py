@@ -59,6 +59,16 @@ def _use_paged(n_texels, diff_mode=False):
     import jax
 
     if diff_mode:
+        # one-hot fetches on a NATIVE-resolution envmap (tens of Mtexels)
+        # would be O(texels x lanes) — unusable. Fail loudly with the knob
+        # that restores a differentiable-scale table.
+        if n_texels > 16 * (1 << 20):
+            raise ValueError(
+                f"diff_mode needs the one-hot (differentiable) texel fetch, "
+                f"but this table has {n_texels} texels — recompile the scene "
+                f"with MISAKI_ENV_RGB_MAX_RES=1024,2048 (or smaller) for "
+                f"gradient-based optimization"
+            )
         return False, False
     if os.environ.get("MISAKI_FORCE_PAGED") == "1":
         return True, True

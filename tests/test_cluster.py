@@ -177,6 +177,39 @@ def test_swizzle_path_matches_unswizzled(soup):
     assert np.array_equal(occ_p, occ_s)
 
 
+def test_raw_tile_major_path_matches(soup):
+    """raw=True returns tile-major results + the relayout handle; callers
+    shade in tile order and inverse-relayout their own outputs — the manual
+    round-trip must reproduce the standard path exactly (the debug frame's
+    relayout-elimination depends on it)."""
+    import jax.numpy as jnp
+
+    acc, geom, o, d, F, L = soup
+    image_cols, spp = 15, 1
+    mint = jnp.full((L,), 1e-4)
+    maxt = jnp.full((L,), jnp.inf)
+    plain = cl.intersect_clusters(
+        acc, o, d, mint, maxt, interpret=True, image_cols=image_cols, spp=spp
+    )
+    raw = cl.intersect_clusters(
+        acc, o, d, mint, maxt, interpret=True, image_cols=image_cols,
+        spp=spp, raw=True,
+    )
+    sw = raw["sw"]
+    assert sw is not None and raw["n_lanes"] == L
+    rows = jnp.stack([raw["t"], raw["u"], raw["v"],
+                      raw["prim"].astype(jnp.float32)], axis=0)
+    (back,) = sw.inv_multi([rows[:, : sw.Lp]], L)
+    np.testing.assert_array_equal(
+        np.asarray(back[3]).astype(np.int32), np.asarray(plain["prim"])
+    )
+    t_back = np.where(np.asarray(back[3]) >= 0, np.asarray(back[0]), np.inf)
+    np.testing.assert_allclose(t_back, np.asarray(plain["t"]), rtol=1e-6)
+    (fd_back,) = sw.inv_multi([raw["fd"][:, : sw.Lp]], L)
+    np.testing.assert_array_equal(np.asarray(fd_back),
+                                  np.asarray(plain["fd"]))
+
+
 def test_sort_reorder_path_matches_plain(soup):
     """The secondary-cast Morton ray sort (coherent=False) must be a pure
     permutation round-trip — identical results to the unsorted call, with

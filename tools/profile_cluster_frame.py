@@ -153,6 +153,19 @@ def main():
                           sbounds)
         return jnp.sum(out[0])
 
+    # kernel decomposition: the same launch with an EMPTY schedule (count=0
+    # everywhere -> the while_loop exits immediately) isolates the pure
+    # per-program grid cost; the difference to st_kernel is the true
+    # per-visit MT/slab work. Tells whether to grow R_TILE (program-bound)
+    # or shrink issued pairs (visit-bound).
+    count0 = jnp.zeros_like(count)
+
+    @jax.jit
+    def st_kernel_novisit(s):
+        out = kernel_only(rays_packed + s * 1e-12, order, keys, count0,
+                          sbounds)
+        return jnp.sum(out[0])
+
     @jax.jit
     def st_unswizzle(s):
         res = sw.inv_cols(rays_packed[:4] + s * 1e-12, L)
@@ -179,6 +192,7 @@ def main():
         ("pack+swizzle fwd", st_pack),
         ("cull+argsort (XLA)", st_cull),
         ("pallas closest kernel", st_kernel),
+        ("kernel, empty schedule", st_kernel_novisit),
         ("inverse swizzle (4+T rows)", st_unswizzle),
         ("intersect_clusters (e2e)", st_intersect),
         ("full debug frame", st_frame),
