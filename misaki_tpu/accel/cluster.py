@@ -248,13 +248,18 @@ def _cull_order(rays, bounds, n_clusters):
     valid = (bounds[0] <= bounds[3])[None, :]
     possible = (tn_lower <= tf_upper) & valid
     key = jnp.where(possible, tn_lower, _BIG)        # (nt, Cpad)
-    # ONE co-sort for both the sorted keys and the permutation (argsort +
-    # sort were two independent full sorts — measured ~0.4 ms/frame on
-    # bunny-scale wavefronts)
+    # ONE co-sort for the sorted keys, the permutation AND the per-visit
+    # cluster AABBs (argsort + sort were two independent full sorts, and a
+    # bounds[order] gather afterwards measured +2.6 ms/frame — per-lane
+    # gathers are pathological on this backend, co-sorted operands are not)
     iota = jnp.broadcast_to(
         jnp.arange(key.shape[1], dtype=jnp.int32)[None, :], key.shape
     )
-    key_sorted, order = jax.lax.sort((key, iota), dimension=1, num_keys=1)
+    b_rows = tuple(
+        jnp.broadcast_to(bounds[k][None, :], key.shape) for k in range(6)
+    )
+    sorted_ = jax.lax.sort((key, iota) + b_rows, dimension=1, num_keys=1)
+    key_sorted, order = sorted_[0], sorted_[1]
     count = jnp.sum(key < _BIG, axis=1, keepdims=True).astype(jnp.int32)
     # Cap the visit list at MAX_VISITS columns; the rare tile whose frustum
     # spans more clusters falls back to a full identity-order scan,
@@ -269,7 +274,7 @@ def _cull_order(rays, bounds, n_clusters):
     # cull is conservative — a visit many tiles keep is often hit by zero
     # of a tile's actual rays, especially on incoherent secondary casts)
     sched_bounds = jnp.stack(
-        [bounds[k][order_t] for k in range(6)], axis=1
+        [sorted_[2 + k][:, :MAX_VISITS] for k in range(6)], axis=1
     )                                                # (nt, 6, MAXV)
     # singleton middle axis: TPU BlockSpecs demand the block's trailing two
     # dims either be (8k, 128k)-aligned or EQUAL the array's — (1, 1, MAXV)
