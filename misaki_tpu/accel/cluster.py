@@ -199,7 +199,7 @@ def pl_program_id():
     return pl.program_id(0)
 
 
-def _cull_order(rays, bounds, n_clusters):
+def _cull_order(rays, bounds, n_clusters, with_bounds=True):
     """Vectorized (plain XLA, outside the kernel) cluster cull + front-to-back
     visit order for every R_TILE ray tile at once.
 
@@ -255,7 +255,7 @@ def _cull_order(rays, bounds, n_clusters):
     iota = jnp.broadcast_to(
         jnp.arange(key.shape[1], dtype=jnp.int32)[None, :], key.shape
     )
-    b_rows = tuple(
+    b_rows = () if not with_bounds else tuple(
         jnp.broadcast_to(bounds[k][None, :], key.shape) for k in range(6)
     )
     sorted_ = jax.lax.sort((key, iota) + b_rows, dimension=1, num_keys=1)
@@ -272,10 +272,16 @@ def _cull_order(rays, bounds, n_clusters):
     # per-visit cluster AABBs riding along in SMEM: the kernels gate each
     # MT block on an EXACT per-ray slab test (the schedule's tile-interval
     # cull is conservative — a visit many tiles keep is often hit by zero
-    # of a tile's actual rays, especially on incoherent secondary casts)
-    sched_bounds = jnp.stack(
-        [sorted_[2 + k][:, :MAX_VISITS] for k in range(6)], axis=1
-    )                                                # (nt, 6, MAXV)
+    # of a tile's actual rays, especially on incoherent secondary casts).
+    # with_bounds=False (coherent casts compiled without the gate) skips the
+    # six extra sort operands and returns a 1-tile dummy.
+    if with_bounds:
+        sched_bounds = jnp.stack(
+            [sorted_[2 + k][:, :MAX_VISITS] for k in range(6)], axis=1
+        )                                            # (nt, 6, MAXV)
+    else:
+        sched_bounds = jnp.zeros((order_t.shape[0], 6, MAX_VISITS),
+                                 jnp.float32)
     # singleton middle axis: TPU BlockSpecs demand the block's trailing two
     # dims either be (8k, 128k)-aligned or EQUAL the array's — (1, 1, MAXV)
     # blocks over (nt, 1, MAXV) arrays satisfy the equality form
@@ -352,8 +358,8 @@ def _slab_gate(rays, inv, sb_ref, kk, t_best):
     return jnp.max(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
 
 
-def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
-                    sb_ref, out_ref, face_ref):
+def _closest_kernel(C, use_gate, rays_ref, tri_ref, tab_ref, ord_ref,
+                    key_ref, cnt_ref, sb_ref, out_ref, face_ref):
     """MT walk over the precomputed per-tile visit list (front-to-back),
     with the early exit that makes the walk sub-linear in C: the schedule's
     sorted entry keys arrive in SMEM, and the while_loop terminates as soon
@@ -379,8 +385,9 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
     full = n_raw < 0                           # visit-list overflow: full scan
     n = jnp.where(full, -n_raw, n_raw)
     # hoisted per-ray reciprocal directions for the per-visit slab gate
-    inv = (_safe_rcp(rays["dx"]), _safe_rcp(rays["dy"]),
-           _safe_rcp(rays["dz"]))
+    inv = None if not use_gate else (
+        _safe_rcp(rays["dx"]), _safe_rcp(rays["dy"]), _safe_rcp(rays["dz"])
+    )
 
     def cond(s):
         k, t_b, _u, _v, _f, _acc = s
@@ -399,8 +406,12 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
         # second-level cull: the schedule's tile-interval test is
         # conservative — skip the whole dense block when this tile's actual
         # rays all miss the cluster's AABB (scalar branch; the full-scan
-        # fallback has no scheduled bounds and always runs)
-        gate = full | _slab_gate(rays, inv, sb_ref, kk, t_b)
+        # fallback has no scheduled bounds and always runs). use_gate is
+        # static: coherent primary casts compile WITHOUT the gate (their
+        # tight pixel-tile frusta make it pay ~nothing, and skipping it
+        # drops the 6 bounds operands from the schedule sort).
+        if use_gate:
+            gate = full | _slab_gate(rays, inv, sb_ref, kk, t_b)
 
         def do_mt(s2):
             t_b, u_b, v_b, f_b, acc = s2
@@ -431,8 +442,11 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
                 jnp.where(take, row, acc),
             )
 
-        s2 = jax.lax.cond(gate, do_mt, lambda s2: s2,
-                          (t_b, u_b, v_b, f_b, acc))
+        if use_gate:
+            s2 = jax.lax.cond(gate, do_mt, lambda s2: s2,
+                              (t_b, u_b, v_b, f_b, acc))
+        else:
+            s2 = do_mt((t_b, u_b, v_b, f_b, acc))
         return (k + 1,) + s2
 
     init = (jnp.int32(0), t0, z, z, z - 1.0, jnp.zeros((T, R), jnp.float32))
@@ -444,8 +458,8 @@ def _closest_kernel(C, rays_ref, tri_ref, tab_ref, ord_ref, key_ref, cnt_ref,
     face_ref[:, :] = acc
 
 
-def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, sb_ref,
-                   out_ref):
+def _anyhit_kernel(C, use_gate, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref,
+                   sb_ref, out_ref):
     rays = _ray_components(rays_ref)
     R = rays["ox"].shape[1]
     n_raw = cnt_ref[0, 0, 0]
@@ -454,8 +468,9 @@ def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, sb_ref,
     # shrinking exit bound: a cluster is only worth visiting while its entry
     # key is within some still-unoccluded ray's range (pads have maxt = -1)
     maxt_cap = jnp.minimum(rays["maxt"], _BIG)
-    inv = (_safe_rcp(rays["dx"]), _safe_rcp(rays["dy"]),
-           _safe_rcp(rays["dz"]))
+    inv = None if not use_gate else (
+        _safe_rcp(rays["dx"]), _safe_rcp(rays["dy"]), _safe_rcp(rays["dz"])
+    )
 
     def cond(s):
         k, occ = s
@@ -470,8 +485,9 @@ def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, sb_ref,
         c = jnp.minimum(jnp.where(full, k, ord_ref[0, 0, kk]), C - 1)
         # second-level cull (see _closest_kernel): exact per-ray slab gate,
         # with still-unoccluded ranges as the t caps
-        caps = jnp.where(occ > 0.5, -1.0, maxt_cap)
-        gate = full | _slab_gate(rays, inv, sb_ref, kk, caps)
+        if use_gate:
+            caps = jnp.where(occ > 0.5, -1.0, maxt_cap)
+            gate = full | _slab_gate(rays, inv, sb_ref, kk, caps)
 
         def do_mt(occ):
             blk = tri_ref[c]
@@ -483,7 +499,9 @@ def _anyhit_kernel(C, rays_ref, tri_ref, ord_ref, key_ref, cnt_ref, sb_ref,
             )
             return jnp.maximum(occ, any_hit)
 
-        return k + 1, jax.lax.cond(gate, do_mt, lambda o: o, occ)
+        if use_gate:
+            return k + 1, jax.lax.cond(gate, do_mt, lambda o: o, occ)
+        return k + 1, do_mt(occ)
 
     _, occ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.zeros((1, R), jnp.float32))
@@ -672,6 +690,19 @@ def _pack_rays(o, d, mint, maxt, image_cols=None, spp=1, reorder=None):
     return rays, L, Lp, sw
 
 
+def _gate_policy(coherent):
+    """Static per-cast policy for the in-kernel exact slab gate: ON for
+    incoherent (sorted bounce/shadow) casts, whose conservative tile
+    schedules keep many zero-hit visits; OFF for coherent pixel-tile
+    primaries, whose tight frusta make the gate pure overhead (and whose
+    schedule sort then skips the 6 bounds operands).
+    MISAKI_SLAB_GATE=0/1 forces it globally for sweeps."""
+    ov = _os.environ.get("MISAKI_SLAB_GATE")
+    if ov is not None:
+        return ov == "1"
+    return not coherent
+
+
 def _compiler_params():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -727,11 +758,13 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
         o, d, mint, maxt, image_cols, spp,
         reorder=None if coherent else bounds,
     )
-    order, keys, count, sbounds = _cull_order(rays, bounds, acc.n_clusters)
+    use_gate = _gate_policy(coherent)
+    order, keys, count, sbounds = _cull_order(rays, bounds, acc.n_clusters,
+                                              with_bounds=use_gate)
     pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
     T = acc.tab.shape[1]
     out, face = pl.pallas_call(
-        partial(_closest_kernel, acc.n_clusters),
+        partial(_closest_kernel, acc.n_clusters, use_gate),
         out_shape=(
             jax.ShapeDtypeStruct((4, Lp), jnp.float32),   # t, u, v, fid
             jax.ShapeDtypeStruct((T, Lp), jnp.float32),   # winner face rows
@@ -798,10 +831,12 @@ def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
         o, d, mint, maxt, image_cols, spp,
         reorder=None if coherent else bounds,
     )
-    order, keys, count, sbounds = _cull_order(rays, bounds, acc.n_clusters)
+    use_gate = _gate_policy(coherent)
+    order, keys, count, sbounds = _cull_order(rays, bounds, acc.n_clusters,
+                                              with_bounds=use_gate)
     pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
     out = pl.pallas_call(
-        partial(_anyhit_kernel, acc.n_clusters),
+        partial(_anyhit_kernel, acc.n_clusters, use_gate),
         out_shape=jax.ShapeDtypeStruct((1, Lp), jnp.float32),
         grid=grid,
         in_specs=in_specs + sched_specs,

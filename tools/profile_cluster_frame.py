@@ -128,7 +128,7 @@ def main():
         plm, pltpu, grid, in_specs, sched_specs = cl._common_specs(acc, Lp)
         T = tab.shape[1]
         out, face = plm.pallas_call(
-            partial(cl._closest_kernel, acc.n_clusters),
+            partial(cl._closest_kernel, acc.n_clusters, cl._gate_policy(True)),
             out_shape=(
                 jax.ShapeDtypeStruct((8, Lp), jnp.float32),
                 jax.ShapeDtypeStruct((T, Lp), jnp.float32),
