@@ -46,8 +46,13 @@ import os as _os_knobs
 
 CLUSTER_FACES = int(_os_knobs.environ.get("MISAKI_CLUSTER_FACES", 128))
 # rays per grid program (sublane-axis multiple of 8); env-tunable for the
-# perf sweep alongside MISAKI_CLUSTER_FACES / MISAKI_MAX_VISITS
+# perf sweep alongside MISAKI_CLUSTER_FACES / MISAKI_MAX_VISITS.
+# Coherent pixel-tile primaries run WIDER programs (fewer grid programs =
+# less per-program overhead; their tight frusta keep visits low even at 2x
+# rays/tile — measured bunny 81.7 -> 97.6 M rays/s device-side), incoherent
+# sorted casts keep the narrower tile (wider frusta would inflate visits).
 R_TILE = int(_os_knobs.environ.get("MISAKI_R_TILE", 256))
+R_TILE_COHERENT = int(_os_knobs.environ.get("MISAKI_R_TILE_COH", 512))
 # Visit-list cap per tile (overflow -> full scan). The schedule arrives as
 # per-program SMEM *blocks* ((1, MAX_VISITS) rows), so the cap costs ~1 KB
 # of SMEM per program regardless of tile count. Env-tunable for perf sweeps
@@ -199,7 +204,7 @@ def pl_program_id():
     return pl.program_id(0)
 
 
-def _cull_order(rays, bounds, n_clusters, with_bounds=True):
+def _cull_order(rays, bounds, n_clusters, with_bounds=True, r_tile=None):
     """Vectorized (plain XLA, outside the kernel) cluster cull + front-to-back
     visit order for every R_TILE ray tile at once.
 
@@ -210,8 +215,9 @@ def _cull_order(rays, bounds, n_clusters, with_bounds=True):
     full scan). Doing this in XLA keeps the Pallas
     programs free of (C,1)-shaped vector work, which lowers to near-scalar
     VPU code and dominated early kernels."""
-    nt = rays.shape[1] // R_TILE
-    rv = rays.reshape(8, nt, R_TILE)
+    r_tile = R_TILE if r_tile is None else r_tile
+    nt = rays.shape[1] // r_tile
+    rv = rays.reshape(8, nt, r_tile)
     o = jnp.moveaxis(rv[0:3], 0, -1)                 # (nt, R, 3)
     inv = _safe_rcp(jnp.moveaxis(rv[3:6], 0, -1))
     # per-tile ray frustum as component intervals — the test below is pure
@@ -661,11 +667,13 @@ class _SortReorder:
         return res
 
 
-def _pack_rays(o, d, mint, maxt, image_cols=None, spp=1, reorder=None):
+def _pack_rays(o, d, mint, maxt, image_cols=None, spp=1, reorder=None,
+               r_tile=None):
     """Components -> (8, Lp) lane-last ray matrix (a plain row stack: no
     relayout — every component is already a contiguous (L,) lane vector).
     `reorder`: cluster bounds array — enables the secondary-cast Morton
     sort instead of the (primary-only) pixel-tile swizzle."""
+    r_tile = R_TILE if r_tile is None else r_tile
     L = o[0].shape[0]
     rays = jnp.stack(
         [o[0], o[1], o[2], d[0], d[1], d[2], mint, maxt], axis=0
@@ -682,7 +690,7 @@ def _pack_rays(o, d, mint, maxt, image_cols=None, spp=1, reorder=None):
         else:
             sw = None
             Lp0 = L
-    Lp = -(-Lp0 // R_TILE) * R_TILE
+    Lp = -(-Lp0 // r_tile) * r_tile
     if Lp != Lp0:
         pad = jnp.zeros((8, Lp - Lp0), jnp.float32)
         pad = pad.at[7, :].set(-1.0)  # maxt < mint: padded rays hit nothing
@@ -709,12 +717,13 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
-def _common_specs(acc, Lp):
+def _common_specs(acc, Lp, r_tile=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    r_tile = R_TILE if r_tile is None else r_tile
     in_specs = [
-        pl.BlockSpec((8, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # tri table
     ]
     # visit schedule: per-program SMEM BLOCKS — scalar loads there have no
@@ -730,7 +739,7 @@ def _common_specs(acc, Lp):
         pl.BlockSpec((1, 6, MAX_VISITS), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),   # visit AABBs (nt, 6, MAXV)
     ]
-    return pl, pltpu, (Lp // R_TILE,), in_specs, sched_specs
+    return pl, pltpu, (Lp // r_tile,), in_specs, sched_specs
 
 
 def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
@@ -754,14 +763,16 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
     final few output rows (the debug frame relayouted 40 rows per cast —
     ~1-2 ms of pure transpose traffic on bunny-scale wavefronts)."""
     bounds = jnp.asarray(acc.bounds)
+    r_tile = R_TILE_COHERENT if coherent else R_TILE
     rays, L, Lp, sw = _pack_rays(
         o, d, mint, maxt, image_cols, spp,
-        reorder=None if coherent else bounds,
+        reorder=None if coherent else bounds, r_tile=r_tile,
     )
     use_gate = _gate_policy(coherent)
     order, keys, count, sbounds = _cull_order(rays, bounds, acc.n_clusters,
-                                              with_bounds=use_gate)
-    pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
+                                              with_bounds=use_gate,
+                                              r_tile=r_tile)
+    pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp, r_tile)
     T = acc.tab.shape[1]
     out, face = pl.pallas_call(
         partial(_closest_kernel, acc.n_clusters, use_gate),
@@ -774,8 +785,8 @@ def intersect_clusters(acc, o, d, mint, maxt, interpret=False,
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]         # face table
         + sched_specs,
         out_specs=(
-            pl.BlockSpec((4, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         # geometry + face tables resident in VMEM: the default 16 MB scoped
         # budget is too small for ~100k-face scenes (v5e has 128 MB VMEM)
@@ -827,21 +838,23 @@ def ray_test_clusters(acc, o, d, mint, maxt, interpret=False,
                       image_cols=None, spp=1, coherent=True):
     """Any-hit visibility test; True = occluded."""
     bounds = jnp.asarray(acc.bounds)
+    r_tile = R_TILE_COHERENT if coherent else R_TILE
     rays, L, Lp, sw = _pack_rays(
         o, d, mint, maxt, image_cols, spp,
-        reorder=None if coherent else bounds,
+        reorder=None if coherent else bounds, r_tile=r_tile,
     )
     use_gate = _gate_policy(coherent)
     order, keys, count, sbounds = _cull_order(rays, bounds, acc.n_clusters,
-                                              with_bounds=use_gate)
-    pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp)
+                                              with_bounds=use_gate,
+                                              r_tile=r_tile)
+    pl, pltpu, grid, in_specs, sched_specs = _common_specs(acc, Lp, r_tile)
     out = pl.pallas_call(
         partial(_anyhit_kernel, acc.n_clusters, use_gate),
         out_shape=jax.ShapeDtypeStruct((1, Lp), jnp.float32),
         grid=grid,
         in_specs=in_specs + sched_specs,
         out_specs=pl.BlockSpec(
-            (1, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            (1, r_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
